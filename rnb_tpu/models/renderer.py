@@ -1,0 +1,495 @@
+"""NeuS volume renderer, TPU-native.
+
+Re-designs `/root/reference/models/renderer.py` as pure jit-compilable
+functions with static shapes:
+
+  * `sample_pdf` — inverse-CDF importance sampling (`renderer.py:39-69`),
+    vmapped searchsorted instead of torch.gather gymnastics.
+  * `up_sample` / `cat_z_vals` — NeuS hierarchical up-sampling
+    (`renderer.py:132-192`); the 4 rounds run unrolled under stop_gradient
+    with static widths 64→80→96→112→128, so XLA compiles one fixed program
+    (no data-dependent shapes). Merge-sort of z-values uses `jnp.sort` +
+    `take_along_axis`.
+  * `render_core_mvps` — the hot training integrator (`renderer.py:466-554`):
+    sigmoid-SDF alpha from section-estimated SDFs, cos-annealing, sphere
+    masks, transmittance via exclusive cumprod, eikonal error over the
+    relaxed sphere. ∇SDF comes from one batched vjp (see fields.py), not a
+    per-point double-backprop.
+  * `render_rnb` / `render_rnb_warmup` — per-light Lambertian compositing
+    (`renderer.py:828-1033`): warm-up shades with ReLU(n·l) under fixed
+    lights; the main phase omits the ReLU because per-pixel virtual lights
+    guarantee positivity (`renderer.py:1016`).
+  * `render` + `render_core` — the vanilla NeuS radiance path used for
+    novel-view synthesis (`renderer.py:194-285,556-648`).
+  * `render_core_outside` — NeRF++ inverted-sphere background
+    (`renderer.py:93-130`), active only when `n_outside > 0`.
+
+Numerical parity epsilons kept exactly: alpha guards 1e-5
+(`renderer.py:171,520-523`), cumprod 1e-7 (`renderer.py:534`), sample_pdf
+weight floor 1e-5 / denom floor 1e-5 (`renderer.py:42,65`), cos clip
+[-1e3, 0] (`renderer.py:164`), inv_s clip [1e-6, 1e6] (`renderer.py:228`).
+
+The dead/experimental reference variants (`render_core_normals`,
+`render_normals*`, `render_normal_integration_*`, ~490 LoC unreachable from
+the CLI) are intentionally NOT rebuilt (SURVEY.md §2 "do not rebuild").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from rnb_tpu.models import fields
+from rnb_tpu.models.fields import ModelStatics
+
+
+@dataclasses.dataclass(frozen=True)
+class RendererConfig:
+    """Schema of the reference's `model.neus_renderer` conf section
+    (`confs/wmask_rnb.conf:83-89`)."""
+    n_samples: int = 64
+    n_importance: int = 64
+    n_outside: int = 0
+    up_sample_steps: int = 4
+    perturb: float = 1.0
+
+    @property
+    def total_samples(self) -> int:
+        return self.n_samples + self.n_importance
+
+
+def renderer_conf(conf_model) -> RendererConfig:
+    if "neus_renderer" not in conf_model:
+        return RendererConfig()
+    return RendererConfig(**dict(conf_model["neus_renderer"].as_dict()))
+
+
+# ---------------------------------------------------------------------------
+# importance sampling
+# ---------------------------------------------------------------------------
+
+def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
+               det: bool = True, key=None) -> jnp.ndarray:
+    """Inverse-CDF sampling (`renderer.py:39-69`). bins [B,N], weights [B,N-1]
+    -> samples [B,n_samples]. det=True uses midpoint stratification."""
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [B,N]
+
+    if det:
+        u = jnp.linspace(0.5 / n_samples, 1.0 - 0.5 / n_samples, n_samples)
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+    else:
+        assert key is not None
+        u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
+
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, below, axis=-1)
+    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)
+
+
+def _exclusive_cumprod_transmittance(alpha: jnp.ndarray) -> jnp.ndarray:
+    """weights = alpha * cumprod(1 - alpha + 1e-7)[exclusive] (`renderer.py:534`)."""
+    batch = alpha.shape[0]
+    shifted = jnp.concatenate([jnp.ones((batch, 1), alpha.dtype), 1.0 - alpha + 1e-7], axis=-1)
+    return alpha * jnp.cumprod(shifted, axis=-1)[:, :-1]
+
+
+# ---------------------------------------------------------------------------
+# hierarchical up-sampling
+# ---------------------------------------------------------------------------
+
+def up_sample(rays_o, rays_d, z_vals, sdf, n_importance: int, inv_s: float) -> jnp.ndarray:
+    """One NeuS up-sampling round at fixed inv_s (`renderer.py:132-176`)."""
+    batch_size, n_samples = z_vals.shape
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., :, None]
+    radius = jnp.linalg.norm(pts, axis=-1)
+    inside_sphere = (radius[:, :-1] < 1.0) | (radius[:, 1:] < 1.0)
+
+    prev_sdf, next_sdf = sdf[:, :-1], sdf[:, 1:]
+    prev_z, next_z = z_vals[:, :-1], z_vals[:, 1:]
+    mid_sdf = (prev_sdf + next_sdf) * 0.5
+    cos_val = (next_sdf - prev_sdf) / (next_z - prev_z + 1e-5)
+
+    # min(cos, prev_cos): robust against SDF local dips (`renderer.py:146-163`)
+    prev_cos = jnp.concatenate([jnp.zeros((batch_size, 1)), cos_val[:, :-1]], axis=-1)
+    cos_val = jnp.minimum(prev_cos, cos_val)
+    cos_val = jnp.clip(cos_val, -1e3, 0.0) * inside_sphere
+
+    dist = next_z - prev_z
+    prev_esti = mid_sdf - cos_val * dist * 0.5
+    next_esti = mid_sdf + cos_val * dist * 0.5
+    prev_cdf = jax.nn.sigmoid(prev_esti * inv_s)
+    next_cdf = jax.nn.sigmoid(next_esti * inv_s)
+    alpha = (prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5)
+    weights = _exclusive_cumprod_transmittance(alpha)
+
+    return jax.lax.stop_gradient(sample_pdf(z_vals, weights, n_importance, det=True))
+
+
+def cat_z_vals(statics: ModelStatics, params, rays_o, rays_d, z_vals, new_z_vals,
+               sdf, last: bool):
+    """Merge-sort new z-values in; re-query SDF at them unless final round
+    (`renderer.py:178-192`)."""
+    batch_size = z_vals.shape[0]
+    z_cat = jnp.concatenate([z_vals, new_z_vals], axis=-1)
+    order = jnp.argsort(z_cat, axis=-1)
+    z_sorted = jnp.take_along_axis(z_cat, order, axis=-1)
+    if last:
+        return z_sorted, sdf
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z_vals[..., :, None]
+    new_sdf = fields.sdf_only(statics.sdf, params["sdf"], pts.reshape(-1, 3))
+    new_sdf = new_sdf.reshape(batch_size, new_z_vals.shape[-1])
+    sdf_cat = jnp.concatenate([sdf, new_sdf], axis=-1)
+    return z_sorted, jnp.take_along_axis(sdf_cat, order, axis=-1)
+
+
+def upsampled_z_vals(statics: ModelStatics, rcfg: RendererConfig, params,
+                     rays_o, rays_d, z_vals) -> jnp.ndarray:
+    """The full no-grad up-sample loop (`renderer.py:965-984`): 4 unrolled
+    rounds with inv_s = 64·2^i, static widths."""
+    if rcfg.n_importance <= 0:
+        return z_vals
+    params = jax.lax.stop_gradient(params)
+    batch_size = z_vals.shape[0]
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., :, None]
+    sdf = fields.sdf_only(statics.sdf, params["sdf"], pts.reshape(-1, 3))
+    sdf = sdf.reshape(batch_size, rcfg.n_samples)
+    per_round = rcfg.n_importance // rcfg.up_sample_steps
+    for i in range(rcfg.up_sample_steps):
+        new_z = up_sample(rays_o, rays_d, z_vals, sdf, per_round, 64 * 2 ** i)
+        z_vals, sdf = cat_z_vals(statics, params, rays_o, rays_d, z_vals, new_z,
+                                 sdf, last=(i + 1 == rcfg.up_sample_steps))
+    return jax.lax.stop_gradient(z_vals)
+
+
+# ---------------------------------------------------------------------------
+# core integrators
+# ---------------------------------------------------------------------------
+
+def render_core_outside(statics: ModelStatics, rcfg: RendererConfig, params,
+                        rays_o, rays_d, z_vals, sample_dist,
+                        background_rgb=None) -> Dict[str, jnp.ndarray]:
+    """NeRF++ inverted-sphere background (`renderer.py:93-130`)."""
+    batch_size, n_samples = z_vals.shape
+    dists = jnp.concatenate(
+        [z_vals[..., 1:] - z_vals[..., :-1],
+         jnp.full((batch_size, 1), sample_dist)], axis=-1)
+    mid_z = z_vals + dists * 0.5
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * mid_z[..., :, None]
+
+    dis_to_center = jnp.clip(jnp.linalg.norm(pts, axis=-1, keepdims=True), 1.0, 1e10)
+    pts4 = jnp.concatenate([pts / dis_to_center, 1.0 / dis_to_center], axis=-1)
+    dirs = jnp.broadcast_to(rays_d[:, None, :], (batch_size, n_samples, 3))
+
+    d_in = 3 + int(rcfg.n_outside > 0)
+    density, color_raw = fields.nerf_apply(
+        statics.nerf, params["nerf"],
+        pts4.reshape(-1, 4)[:, :d_in], dirs.reshape(-1, 3))
+    sampled_color = jax.nn.sigmoid(color_raw).reshape(batch_size, n_samples, 3)
+    alpha = 1.0 - jnp.exp(-jax.nn.softplus(density.reshape(batch_size, n_samples)) * dists)
+    weights = _exclusive_cumprod_transmittance(alpha)
+    color = (weights[:, :, None] * sampled_color).sum(axis=1)
+    if background_rgb is not None:
+        color = color + background_rgb * (1.0 - weights.sum(axis=-1, keepdims=True))
+    return {"color": color, "sampled_color": sampled_color, "alpha": alpha,
+            "weights": weights}
+
+
+def render_core_mvps(statics: ModelStatics, params, rays_o, rays_d, z_vals,
+                     sample_dist, cos_anneal_ratio,
+                     background_alpha=None, background_sampled_color=None,
+                     need_albedo: bool = True) -> Dict[str, jnp.ndarray]:
+    """The hot training integrator (`renderer.py:466-554`). Returns per-sample
+    albedo and normals for downstream light compositing."""
+    batch_size, n_samples = z_vals.shape
+    dists = jnp.concatenate(
+        [z_vals[..., 1:] - z_vals[..., :-1],
+         jnp.full((batch_size, 1), sample_dist)], axis=-1)
+    mid_z = z_vals + dists * 0.5
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * mid_z[..., :, None]
+    dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
+
+    pts_flat = pts.reshape(-1, 3)
+    dirs_flat = dirs.reshape(-1, 3)
+
+    sdf, feature, gradients = fields.sdf_value_feat_grad(
+        statics.sdf, params["sdf"], pts_flat)
+    sdf = sdf[:, None]
+
+    if need_albedo:
+        sampled_albedo = fields.rendering_apply(
+            statics.color, params["color"], pts_flat, gradients, dirs_flat, feature
+        ).reshape(batch_size, n_samples, statics.color.d_out)
+    else:
+        sampled_albedo = jnp.ones((batch_size, n_samples, statics.color.d_out))
+
+    inv_s = jnp.clip(fields.variance_inv_s(params["variance"]), 1e-6, 1e6)
+
+    true_cos = (dirs_flat * gradients).sum(-1, keepdims=True)
+    # annealed non-positive cos (`renderer.py:506-511`)
+    iter_cos = -(jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
+                 + jax.nn.relu(-true_cos) * cos_anneal_ratio)
+
+    dists_flat = dists.reshape(-1, 1)
+    est_next = sdf + iter_cos * dists_flat * 0.5
+    est_prev = sdf - iter_cos * dists_flat * 0.5
+    prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
+    next_cdf = jax.nn.sigmoid(est_next * inv_s)
+    alpha = ((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5))
+    alpha = jnp.clip(alpha.reshape(batch_size, n_samples), 0.0, 1.0)
+
+    pts_norm = jnp.linalg.norm(pts_flat, axis=-1).reshape(batch_size, n_samples)
+    inside_sphere = jax.lax.stop_gradient((pts_norm < 1.0).astype(jnp.float32))
+    relax_inside_sphere = jax.lax.stop_gradient((pts_norm < 1.2).astype(jnp.float32))
+
+    alpha_raw = alpha
+    if background_alpha is not None:
+        alpha = alpha * inside_sphere + background_alpha[:, :n_samples] * (1.0 - inside_sphere)
+        alpha = jnp.concatenate([alpha, background_alpha[:, n_samples:]], axis=-1)
+
+    weights = _exclusive_cumprod_transmittance(alpha)
+    sampled_normals = gradients.reshape(batch_size, n_samples, 3)
+
+    grad_norm = jnp.linalg.norm(sampled_normals, axis=-1)
+    gradient_error_num = (relax_inside_sphere * (grad_norm - 1.0) ** 2).sum()
+    gradient_error_den = relax_inside_sphere.sum()
+    gradient_error = gradient_error_num / (gradient_error_den + 1e-5)
+
+    return {
+        "sdf": sdf,
+        "dists": dists,
+        "gradients": sampled_normals,
+        "s_val": jnp.broadcast_to(1.0 / inv_s, (batch_size, n_samples)),
+        "mid_z_vals": mid_z,
+        "alpha_raw": alpha_raw,
+        "weights": weights,
+        "cdf": prev_cdf.reshape(batch_size, n_samples),
+        "gradient_error": gradient_error,
+        "gradient_error_num": gradient_error_num,
+        "gradient_error_den": gradient_error_den,
+        "inside_sphere": inside_sphere,
+        "sampled_albedo": sampled_albedo,
+        "sampled_normal": sampled_normals,
+    }
+
+
+# ---------------------------------------------------------------------------
+# z-value initialization
+# ---------------------------------------------------------------------------
+
+def init_z_vals(rcfg: RendererConfig, near, far, batch_size: int, key,
+                perturb_overwrite: float = -1.0):
+    """Uniform z init + stratified perturb (`renderer.py:935-949`)."""
+    z = jnp.linspace(0.0, 1.0, rcfg.n_samples)
+    z_vals = near + (far - near) * z[None, :]
+    perturb = rcfg.perturb if perturb_overwrite < 0 else perturb_overwrite
+    if perturb > 0:
+        t_rand = jax.random.uniform(key, (batch_size, 1)) - 0.5
+        z_vals = z_vals + t_rand * 2.0 / rcfg.n_samples
+    return z_vals
+
+
+def _outside_z_vals(rcfg: RendererConfig, far, batch_size: int, key,
+                    perturb: float):
+    z_out = jnp.linspace(1e-3, 1.0 - 1.0 / (rcfg.n_outside + 1.0), rcfg.n_outside)
+    if perturb > 0:
+        mids = 0.5 * (z_out[1:] + z_out[:-1])
+        upper = jnp.concatenate([mids, z_out[-1:]])
+        lower = jnp.concatenate([z_out[:1], mids])
+        t_rand = jax.random.uniform(key, (batch_size, rcfg.n_outside))
+        z_out = lower[None, :] + (upper - lower)[None, :] * t_rand
+    else:
+        z_out = jnp.broadcast_to(z_out, (batch_size, rcfg.n_outside))
+    return far / jnp.flip(z_out, axis=-1) + 1.0 / rcfg.n_samples
+
+
+# ---------------------------------------------------------------------------
+# top-level render paths
+# ---------------------------------------------------------------------------
+
+def render_rnb(statics: ModelStatics, rcfg: RendererConfig, params,
+               rays_o, rays_d, near, far, lights_dir, key,
+               cos_anneal_ratio=1.0, perturb_overwrite: float = -1.0,
+               background_rgb=None, no_albedo: bool = False,
+               warmup: bool = False) -> Dict[str, jnp.ndarray]:
+    """RNb rendering (`renderer.py:828-1033`).
+
+    lights_dir broadcasts against [n_lights, batch, n_samples, 3]; the runner
+    passes [L,1,1,3] in warm-up (fixed per-view world lights) and [L,B,1,3]
+    in the main phase (per-pixel world lights).
+
+    warmup=True applies ReLU to the shading (`renderer.py:912-914`); the main
+    phase does not (`renderer.py:1016`) because per-pixel lights guarantee
+    n·l > 0 on valid pixels.
+    """
+    batch_size = rays_o.shape[0]
+    sample_dist = 2.0 / rcfg.n_samples
+    kz, kout = jax.random.split(key)
+    z_vals = init_z_vals(rcfg, near, far, batch_size, kz, perturb_overwrite)
+
+    z_vals = upsampled_z_vals(statics, rcfg, params, rays_o, rays_d, z_vals)
+    n_samples = rcfg.total_samples if rcfg.n_importance > 0 else rcfg.n_samples
+
+    background_alpha = None
+    background_sampled_color = None
+    if rcfg.n_outside > 0:
+        perturb = rcfg.perturb if perturb_overwrite < 0 else perturb_overwrite
+        z_out = _outside_z_vals(rcfg, far, batch_size, kout, perturb)
+        z_feed = jnp.sort(jnp.concatenate([z_vals, z_out], axis=-1), axis=-1)
+        ret_out = render_core_outside(statics, rcfg, params, rays_o, rays_d,
+                                      z_feed, sample_dist)
+        background_sampled_color = ret_out["sampled_color"]
+        background_alpha = ret_out["alpha"]
+
+    ret = render_core_mvps(statics, params, rays_o, rays_d, z_vals, sample_dist,
+                           cos_anneal_ratio,
+                           background_alpha=background_alpha,
+                           background_sampled_color=background_sampled_color,
+                           need_albedo=not no_albedo)
+
+    albedo = ret["sampled_albedo"]
+    if no_albedo:
+        albedo = jnp.ones_like(albedo)
+    normal = ret["sampled_normal"]
+    weights = ret["weights"]
+
+    # [L, B, S, 1] shading
+    shading = (normal[None, :, :, :] * lights_dir).sum(axis=-1, keepdims=True)
+    if warmup:
+        shading = jax.nn.relu(shading)
+    w = weights[None, :, :n_samples, None]
+    color_fine = (albedo[None] * w * shading).sum(axis=2)  # [L, B, C]
+
+    weights_sum = weights.sum(axis=-1, keepdims=True)
+    s_val = ret["s_val"].mean(axis=-1, keepdims=True)
+
+    return {
+        "color_fine": color_fine,
+        "s_val": s_val,
+        "cdf_fine": ret["cdf"],
+        "weight_sum": weights_sum,
+        "weight_max": jnp.max(weights, axis=-1, keepdims=True),
+        "gradients": ret["gradients"],
+        "weights": weights,
+        "gradient_error": ret["gradient_error"],
+        "gradient_error_num": ret["gradient_error_num"],
+        "gradient_error_den": ret["gradient_error_den"],
+        "inside_sphere": ret["inside_sphere"],
+    }
+
+
+def render(statics: ModelStatics, rcfg: RendererConfig, params,
+           rays_o, rays_d, near, far, key, cos_anneal_ratio=1.0,
+           perturb_overwrite: float = -1.0, background_rgb=None
+           ) -> Dict[str, jnp.ndarray]:
+    """Vanilla NeuS render for novel views (`renderer.py:556-648`)."""
+    batch_size = rays_o.shape[0]
+    sample_dist = 2.0 / rcfg.n_samples
+    kz, kout = jax.random.split(key)
+    z_vals = init_z_vals(rcfg, near, far, batch_size, kz, perturb_overwrite)
+    z_vals = upsampled_z_vals(statics, rcfg, params, rays_o, rays_d, z_vals)
+    n_samples = rcfg.total_samples if rcfg.n_importance > 0 else rcfg.n_samples
+
+    background_alpha = None
+    background_sampled_color = None
+    if rcfg.n_outside > 0:
+        perturb = rcfg.perturb if perturb_overwrite < 0 else perturb_overwrite
+        z_out = _outside_z_vals(rcfg, far, batch_size, kout, perturb)
+        z_feed = jnp.sort(jnp.concatenate([z_vals, z_out], axis=-1), axis=-1)
+        ret_out = render_core_outside(statics, rcfg, params, rays_o, rays_d,
+                                      z_feed, sample_dist)
+        background_sampled_color = ret_out["sampled_color"]
+        background_alpha = ret_out["alpha"]
+
+    # integrate radiance with optional background mixing (`renderer.py:245-267`)
+    core = render_core_mvps(statics, params, rays_o, rays_d, z_vals, sample_dist,
+                            cos_anneal_ratio, need_albedo=True)
+    sampled_color = core["sampled_albedo"][..., :3]
+    inside_sphere = core["inside_sphere"]
+
+    if background_alpha is not None:
+        # mix alpha and per-sample color inside/outside the unit sphere, then
+        # rebuild transmittance — same order as `renderer.py:254-262`
+        alpha_fine = core["alpha_raw"]
+        alpha = (alpha_fine * inside_sphere
+                 + background_alpha[:, :alpha_fine.shape[1]] * (1.0 - inside_sphere))
+        alpha = jnp.concatenate([alpha, background_alpha[:, alpha_fine.shape[1]:]], axis=-1)
+        sampled_color = (sampled_color * inside_sphere[:, :, None]
+                         + background_sampled_color[:, :alpha_fine.shape[1]]
+                         * (1.0 - inside_sphere)[:, :, None])
+        sampled_color = jnp.concatenate(
+            [sampled_color, background_sampled_color[:, alpha_fine.shape[1]:]], axis=1)
+        weights = _exclusive_cumprod_transmittance(alpha)
+    else:
+        weights = core["weights"]
+
+    weights_sum = weights.sum(axis=-1, keepdims=True)
+    color = (sampled_color * weights[:, :sampled_color.shape[1], None]).sum(axis=1)
+    if background_rgb is not None:
+        color = color + background_rgb * (1.0 - weights_sum)
+
+    s_val = core["s_val"].mean(axis=-1, keepdims=True)
+    return {
+        "color_fine": color,
+        "s_val": s_val,
+        "cdf_fine": core["cdf"],
+        "weight_sum": weights_sum,
+        "weight_max": jnp.max(weights, axis=-1, keepdims=True),
+        "gradients": core["gradients"],
+        "weights": weights,
+        "gradient_error": core["gradient_error"],
+        "inside_sphere": core["inside_sphere"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# SDF grid evaluation (mesh extraction front half)
+# ---------------------------------------------------------------------------
+
+def make_grid_points(bound_min, bound_max, resolution: int) -> jnp.ndarray:
+    xs = jnp.linspace(bound_min[0], bound_max[0], resolution)
+    ys = jnp.linspace(bound_min[1], bound_max[1], resolution)
+    zs = jnp.linspace(bound_min[2], bound_max[2], resolution)
+    xx, yy, zz = jnp.meshgrid(xs, ys, zs, indexing="ij")
+    return jnp.stack([xx, yy, zz], axis=-1)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _query_chunk(sdf_cfg, sdf_params, pts, negate: bool):
+    v = fields.sdf_only(sdf_cfg, sdf_params, pts)
+    return -v if negate else v
+
+
+def extract_fields(statics: ModelStatics, params, bound_min, bound_max,
+                   resolution: int, chunk: int = 64 ** 3, negate: bool = True):
+    """Evaluate (-sdf) on a dense grid in fixed-size chunks
+    (`renderer.py:10-25`; the sign binding is `renderer.py:1219-1224`).
+    Single-device path; the sharded version lives in rnb_tpu.parallel.grid."""
+    import numpy as np
+    pts = np.asarray(make_grid_points(bound_min, bound_max, resolution)).reshape(-1, 3)
+    total = pts.shape[0]
+    out = np.empty((total,), dtype=np.float32)
+    for start in range(0, total, chunk):
+        block = pts[start:start + chunk]
+        pad = chunk - block.shape[0]
+        if pad:
+            block = np.concatenate([block, np.zeros((pad, 3), np.float32)], axis=0)
+        vals = _query_chunk(statics.sdf, params["sdf"], jnp.asarray(block), negate)
+        out[start:start + chunk - pad] = np.asarray(vals)[:chunk - pad]
+    return out.reshape(resolution, resolution, resolution)

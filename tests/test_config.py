@@ -1,0 +1,86 @@
+"""Config parser tests: must round-trip the reference conf syntax verbatim."""
+
+import os
+
+from rnb_tpu import config
+
+REF_CONF = """
+general {
+    base_exp_dir = ./exp/CASE_NAME/wmask#./alt#
+    recording = [
+        ./,
+        ./models
+    ]
+}
+
+dataset {
+    data_dir = ./data/CASE_NAME/
+    normal_dir = normal
+    albedo_dir = albedo
+    render_cameras_name = cameras.npz
+    object_cameras_name = cameras.npz
+}
+
+train {
+    learning_rate = 5e-4,
+    learning_rate_alpha = 0.05,
+    end_iter = 300000,#300000,
+    warm_up_iter = 200000,
+
+    batch_size = 512,
+    use_white_bkgd = False,
+    igr_weight = 0.1,
+    mask_weight = 0.1,
+}
+
+model {
+    sdf_network {
+        d_out = 257,
+        skip_in = [4],
+        scale = 1.0,
+        geometric_init = True,
+        weight_norm = True
+    }
+    neus_renderer {
+        n_samples = 64,
+        up_sample_steps = 4,    # 1 for simple coarse-to-fine sampling
+        perturb = 1.0
+    }
+}
+"""
+
+
+def test_parse_reference_style():
+    conf = config.parse_string(REF_CONF.replace("CASE_NAME", "bearPNG"))
+    assert conf.get_string("dataset.data_dir") == "./data/bearPNG/"
+    assert conf.get_int("train.end_iter") == 300000
+    assert conf.get_float("train.learning_rate") == 5e-4
+    assert conf.get_bool("train.use_white_bkgd") is False
+    assert conf.get_bool("model.sdf_network.geometric_init") is True
+    assert conf.get_list("model.sdf_network.skip_in") == [4]
+    assert conf.get_list("general.recording") == ["./", "./models"]
+    assert conf.get_float("model.neus_renderer.perturb") == 1.0
+    assert conf.get_int("model.neus_renderer.up_sample_steps") == 4
+    # unquoted value keeps an embedded '#...' only when not preceded by space
+    assert conf.get_string("general.base_exp_dir").startswith("./exp/bearPNG/wmask")
+
+
+def test_defaults_and_contains():
+    conf = config.parse_string(REF_CONF)
+    assert conf.get_string("dataset.mask_dir", default="mask") == "mask"
+    assert "train.batch_size" in conf
+    assert "train.nonexistent" not in conf
+    assert conf.get_int("train.batch_size") == 512
+
+
+def test_shipped_confs_parse():
+    """Our 4 shipped conf variants (reference schema) must parse."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    confs = [f for f in os.listdir(os.path.join(here, "confs"))
+             if f.endswith(".conf")]
+    assert len(confs) >= 4
+    for name in confs:
+        conf = config.load_conf(os.path.join(here, "confs", name), case="bearPNG")
+        assert conf.get_int("train.end_iter") > 0
+        assert "model.sdf_network" in conf
+        assert "CASE_NAME" not in conf.get_string("dataset.data_dir")
