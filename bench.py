@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark: RNb training throughput (rays/s) on the shipped wmask config.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the main-phase jitted train step (the hottest program: 4-round
+up-sampling + render_core_mvps with second-order eikonal backward + Adam) at
+the reference's production shapes: batch 512 rays x 3 lights x 128 samples
+(`/root/reference/confs/wmask_rnb.conf:26,84-88`).
+
+Baseline: the reference publishes no throughput (SURVEY.md §6). Its compute
+envelope is 300k iters in <=24h on one CUDA GPU (`jobs/run_job_bearPNG_001.job:5-9`)
+=> >=3.47 it/s = 1778 rays/s floor; NeuS-class single-GPU trainers typically
+reach ~5.5 it/s = ~2816 rays/s. We use 2816 rays/s as the CUDA-reference
+baseline; vs_baseline = ours / 2816 (target >=5x, BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+REFERENCE_RAYS_PER_S = 2816.0
+
+
+def main():
+    os.environ.setdefault("RNB_MATMUL_PRECISION",
+                          os.environ.get("RNB_BENCH_PRECISION", "highest"))
+    import jax
+    import numpy as np
+
+    import rnb_tpu  # noqa: F401
+    from rnb_tpu.data import dataset as ds
+    from rnb_tpu.models import fields
+    from rnb_tpu.models.renderer import RendererConfig
+    from rnb_tpu.train import step as steplib
+
+    scene = ds.make_sphere_scene(n_views=6, H=256, W=256, radius=0.4)
+    statics = fields.ModelStatics(sdf=fields.SDFConfig(),
+                                  color=fields.RenderingConfig(),
+                                  nerf=fields.NeRFConfig())
+    params = fields.init_model_bundle(jax.random.PRNGKey(0), statics)
+    rcfg = RendererConfig()
+    tcfg = steplib.TrainConfig()  # production schedule/shapes (batch 512)
+
+    n_dev = len(jax.devices())
+    if n_dev > 1 and tcfg.batch_size % n_dev == 0:
+        from rnb_tpu.parallel import mesh as meshlib
+        from rnb_tpu.parallel.train import make_sharded_train_step
+        mesh = meshlib.make_ray_mesh()
+        fn = make_sharded_train_step(statics, rcfg, tcfg, warmup=False,
+                                     no_albedo=False, mesh=mesh)
+    else:
+        fn = steplib.make_train_step(statics, rcfg, tcfg, warmup=False,
+                                     no_albedo=False)
+
+    state = steplib.init_train_state(params, tcfg)
+    key = jax.random.PRNGKey(1)
+
+    # warm-up/compile. NOTE: time through a concrete value fetch (float()),
+    # not block_until_ready — through this image's remote-TPU tunnel
+    # block_until_ready returns before execution completes, which makes
+    # dispatch-only loops look ~40x faster than reality (verified by linear
+    # wall-time scaling in N only when fetching the value).
+    for i in range(3):
+        state, metrics = fn(state, scene.arrays, i % scene.n_images, key)
+    float(metrics["loss"])
+
+    iters = int(os.environ.get("RNB_BENCH_ITERS", "120"))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = fn(state, scene.arrays, i % scene.n_images, key)
+    assert float(metrics["loss"]) == float(metrics["loss"])  # force fetch
+    dt = time.perf_counter() - t0
+
+    rays_per_s = iters * tcfg.batch_size / dt
+    print(json.dumps({
+        "metric": "train_rays_per_s_per_chip",
+        "value": round(rays_per_s / max(n_dev, 1), 1),
+        "unit": "rays/s/chip (main phase, batch 512, 128 samples, 3 lights)",
+        "vs_baseline": round(rays_per_s / max(n_dev, 1) / REFERENCE_RAYS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -34,7 +34,8 @@ from rnb_tpu.train.step import TrainConfig, TrainState, make_optimizer
 
 def make_sharded_train_step(statics: ModelStatics, rcfg: RendererConfig,
                             tcfg: TrainConfig, warmup: bool, no_albedo: bool,
-                            mesh: Mesh, batch_size: int | None = None):
+                            mesh: Mesh, batch_size: int | None = None,
+                            donate: bool = True):
     """Returns jitted (state, arrays, view_idx, base_key) -> (state, metrics).
 
     The global batch (tcfg.batch_size) is split evenly across the mesh's ray
@@ -49,7 +50,8 @@ def make_sharded_train_step(statics: ModelStatics, rcfg: RendererConfig,
     def local_loss(params, arrays, view_idx, key, step):
         """Per-device: sample local rays, render, psum partial sums into the
         global loss (replicated across devices)."""
-        batch = ds.sample_rays_on_all_lights(arrays, view_idx, key, local_bsz)
+        k_ray, k_render = jax.random.split(key)
+        batch = ds.sample_rays_on_all_lights(arrays, view_idx, k_ray, local_bsz)
         if warmup:
             true_rgb = batch.rgb_warmup
             lights_dir = batch.lights_warmup.reshape(-1, 1, 1, 3)
@@ -65,7 +67,7 @@ def make_sharded_train_step(statics: ModelStatics, rcfg: RendererConfig,
 
         out = rnd.render_rnb(
             statics, rcfg, params, batch.rays_o, batch.rays_d, batch.near,
-            batch.far, lights_dir, key,
+            batch.far, lights_dir, k_render,
             cos_anneal_ratio=schedules.cos_anneal_ratio(step, tcfg.anneal_end),
             background_rgb=background_rgb, no_albedo=no_albedo, warmup=warmup)
 
@@ -130,7 +132,7 @@ def make_sharded_train_step(statics: ModelStatics, rcfg: RendererConfig,
             tcfg.learning_rate_alpha)(state.step)
         return TrainState(params, opt_state, state.step + 1), metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
 def rnd_total_samples(rcfg: RendererConfig) -> int:

@@ -1,0 +1,442 @@
+"""Experiment runner: training loop, validation, mesh extraction, video.
+
+TPU-native re-design of the reference Runner (`/root/reference/exp_runner.py:18-662`).
+Same public surface (train_rnb / validate_image / validate_mesh /
+validate_mesh_texture / interpolate_view / checkpointing / file backup), with:
+
+  * two jitted step programs (warm-up / main) instead of an in-graph phase
+    branch (SURVEY.md §7); the host loop only feeds a view index + key
+  * optional data-parallel sharding over a device mesh (``shard='auto'``
+    shards the ray batch when >1 device is visible)
+  * atomic checkpoints, JSONL+TensorBoard scalars, rays/s counters
+  * reference defects fixed (SURVEY.md §Fidelity): ``validate_image_ps`` exists
+    and works; ``validate_mesh_texture`` accepts ``world_space``; vertex colors
+    stay RGB (the reference BGR-swizzles into its PLY, `exp_runner.py:615`).
+"""
+
+from __future__ import annotations
+
+import logging as pylog
+import os
+import shutil
+import time
+from glob import glob
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rnb_tpu import config as cfglib
+from rnb_tpu.data import dataset as ds
+from rnb_tpu.models import fields, renderer as rnd
+from rnb_tpu.models.renderer import RendererConfig
+from rnb_tpu.ops import marching_cubes as mc
+from rnb_tpu.parallel import mesh as meshlib
+from rnb_tpu.train import schedules, step as steplib
+from rnb_tpu.utils import checkpoint as ckptlib
+from rnb_tpu.utils import io
+from rnb_tpu.utils.logging import ScalarLogger
+
+logger = pylog.getLogger(__name__)
+
+
+class Runner:
+    def __init__(self, conf_path: str, mode: str = "train_rnb", case: str = "",
+                 is_continue: bool = False, no_albedo: bool = False,
+                 shard: str = "auto", dataset_override: ds.Dataset | None = None,
+                 seed: int = 0):
+        self.conf_path = conf_path
+        self.conf = cfglib.load_conf(conf_path, case)
+        self.mode = mode
+        self.base_exp_dir = self.conf.get_string("general.base_exp_dir")
+        os.makedirs(self.base_exp_dir, exist_ok=True)
+
+        if dataset_override is not None:
+            self.dataset = dataset_override
+        else:
+            self.dataset = ds.Dataset.from_conf(self.conf["dataset"], no_albedo)
+        self.no_albedo = self.dataset.no_albedo
+
+        self.tcfg = steplib.train_conf(self.conf)
+        self.rcfg = rnd.renderer_conf(self.conf["model"])
+        self.statics = fields.statics_from_conf(self.conf["model"])
+
+        params = fields.init_model_bundle(jax.random.PRNGKey(seed), self.statics)
+        self.state = steplib.init_train_state(params, self.tcfg)
+        self.base_key = jax.random.PRNGKey(seed + 1)
+        self._host_rng = np.random.default_rng(seed)
+
+        # sharding decision (greenfield vs reference single-GPU)
+        self.mesh = None
+        if shard == "auto" and len(jax.devices()) > 1:
+            n = len(jax.devices())
+            if self.tcfg.batch_size % n == 0:
+                self.mesh = meshlib.make_ray_mesh()
+        elif isinstance(shard, int) and shard > 1:
+            self.mesh = meshlib.make_ray_mesh(shard)
+
+        self._step_fns = {}
+        self._chunk_render_fns = {}
+        self.writer: ScalarLogger | None = None
+
+        if is_continue:
+            latest = ckptlib.latest_checkpoint(
+                os.path.join(self.base_exp_dir, "checkpoints"),
+                self.tcfg.end_iter)
+            if latest is not None:
+                logger.info("Find checkpoint: %s", os.path.basename(latest))
+                self.load_checkpoint(latest)
+
+        if mode.startswith("train"):
+            self.file_backup()
+
+    # -- properties -----------------------------------------------------------
+
+    @property
+    def iter_step(self) -> int:
+        return int(self.state.step)
+
+    def get_cos_anneal_ratio(self) -> float:
+        return float(schedules.cos_anneal_ratio(self.iter_step,
+                                                self.tcfg.anneal_end))
+
+    # -- step functions -------------------------------------------------------
+
+    def _get_step_fn(self, warmup: bool):
+        key = (warmup, self.mesh is not None)
+        if key not in self._step_fns:
+            if self.mesh is not None:
+                from rnb_tpu.parallel.train import make_sharded_train_step
+                fn = make_sharded_train_step(self.statics, self.rcfg, self.tcfg,
+                                             warmup, self.no_albedo, self.mesh)
+            else:
+                fn = steplib.make_train_step(self.statics, self.rcfg, self.tcfg,
+                                             warmup, self.no_albedo)
+            self._step_fns[key] = fn
+        return self._step_fns[key]
+
+    # -- training -------------------------------------------------------------
+
+    def train_rnb(self):
+        """The training loop (`exp_runner.py:156-306`)."""
+        self.writer = ScalarLogger(os.path.join(self.base_exp_dir, "logs"))
+        res_step = self.tcfg.end_iter - self.iter_step
+        image_perm = self._host_rng.permutation(self.dataset.n_images)
+        t_report = time.time()
+        rays_done = 0
+
+        for _ in range(res_step):
+            it = self.iter_step
+            warmup = it < self.tcfg.warm_up_iter
+            view = int(image_perm[it % len(image_perm)])
+            fn = self._get_step_fn(warmup)
+            self.state, metrics = fn(self.state, self.dataset.arrays, view,
+                                     self.base_key)
+            it = self.iter_step  # post-increment
+            rays_done += self.tcfg.batch_size
+
+            if it % 10 == 0 or it % self.tcfg.report_freq == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                self.writer.log(it, {
+                    "Loss/loss": m["loss"],
+                    "Loss/color_loss": m["color_loss"],
+                    "Loss/eikonal_loss": m["eikonal_loss"],
+                    "Loss/mask_loss": m["mask_loss"],
+                    "Statistics/s_val": m["s_val"],
+                    "Statistics/cdf": m["cdf"],
+                    "Statistics/weight_max": m["weight_max"],
+                    "Statistics/psnr": m["psnr"],
+                    "lr": m["lr"],
+                })
+
+            if it % self.tcfg.report_freq == 0:
+                dt = time.time() - t_report
+                rps = rays_done / max(dt, 1e-9)
+                t_report, rays_done = time.time(), 0
+                m = {k: float(v) for k, v in metrics.items()}
+                print(f"iter:{it:8d} loss={m['loss']:.5f} "
+                      f"color={m['color_loss']:.5f} "
+                      f"eik={m['eikonal_loss'] * self.tcfg.igr_weight:.5f} "
+                      f"mask={m['mask_loss'] * self.tcfg.mask_weight:.5f} "
+                      f"lr={m['lr']:.3e} rays/s={rps:.0f}", flush=True)
+                self.writer.log(it, {"Perf/rays_per_s": rps})
+
+            if it % self.tcfg.save_freq == 0:
+                self.save_checkpoint()
+            if it % self.tcfg.val_freq == 0:
+                self.validate_image()
+            if it % self.tcfg.val_mesh_freq == 0:
+                self.validate_mesh()
+            if it % self.dataset.n_images == 0:
+                image_perm = self._host_rng.permutation(self.dataset.n_images)
+
+    # -- checkpointing --------------------------------------------------------
+
+    def save_checkpoint(self):
+        path = ckptlib.checkpoint_path(
+            os.path.join(self.base_exp_dir, "checkpoints"), self.iter_step)
+        ckptlib.save_checkpoint(path, self.state)
+
+    def load_checkpoint(self, path: str):
+        self.state = ckptlib.load_checkpoint(path, self.state)
+        logger.info("End")
+
+    def file_backup(self):
+        """Source snapshot for reproducibility (`exp_runner.py:335-352`)."""
+        dir_lis = self.conf.get_list("general.recording", default=[])
+        rec_dir = os.path.join(self.base_exp_dir, "recording")
+        os.makedirs(rec_dir, exist_ok=True)
+        for dir_name in dir_lis:
+            cur_dir = os.path.join(rec_dir, dir_name)
+            os.makedirs(cur_dir, exist_ok=True)
+            if not os.path.isdir(dir_name):
+                continue
+            for f_name in os.listdir(dir_name):
+                if f_name.endswith(".py"):
+                    src = os.path.join(dir_name, f_name)
+                    if os.path.isfile(src):
+                        shutil.copyfile(src, os.path.join(cur_dir, f_name))
+        shutil.copyfile(self.conf_path, os.path.join(rec_dir, "config.conf"))
+
+    # -- validation: images ---------------------------------------------------
+
+    def _get_chunk_render(self, warmup: bool):
+        key = warmup
+        if key not in self._chunk_render_fns:
+            from functools import partial
+            fn = jax.jit(partial(rnd.render_rnb, self.statics, self.rcfg,
+                                 warmup=warmup, no_albedo=self.no_albedo))
+            self._chunk_render_fns[key] = fn
+        return self._chunk_render_fns[key]
+
+    def _render_view(self, idv: int, idl: int, resolution_level: int,
+                     warmup: bool):
+        """Chunked full-view render; returns (rgb [H,W,3], normal [H,W,3])."""
+        arrays = self.dataset.arrays
+        rays_o, rays_d, px, py = ds.gen_rays_at(arrays, idv, resolution_level)
+        H, W = rays_o.shape[:2]
+        rays_o = np.asarray(rays_o).reshape(-1, 3)
+        rays_d = np.asarray(rays_d).reshape(-1, 3)
+        pxi = np.clip(np.rint(np.asarray(px)).astype(np.int64), 0,
+                      self.dataset.W - 1).reshape(-1)
+        pyi = np.clip(np.rint(np.asarray(py)).astype(np.int64), 0,
+                      self.dataset.H - 1).reshape(-1)
+
+        bsz = self.tcfg.batch_size
+        n_total = rays_o.shape[0]
+        n_samples = (self.rcfg.total_samples if self.rcfg.n_importance > 0
+                     else self.rcfg.n_samples)
+        render = self._get_chunk_render(warmup)
+        background_rgb = jnp.ones((1, 3)) if self.tcfg.use_white_bkgd else None
+
+        out_rgb, out_normal = [], []
+        cos_r = self.get_cos_anneal_ratio()
+        for start in range(0, n_total, bsz):
+            end = min(start + bsz, n_total)
+            pad = bsz - (end - start)
+            o = np.pad(rays_o[start:end], ((0, pad), (0, 0)), mode="edge")
+            d = np.pad(rays_d[start:end], ((0, pad), (0, 0)), mode="edge")
+            near, far = self.dataset.near_far_from_sphere(jnp.asarray(o),
+                                                          jnp.asarray(d))
+            if warmup:
+                lights = arrays.lights_warmup_world[idv, idl].reshape(1, 1, 1, 3)
+            else:
+                cx = np.pad(pxi[start:end], (0, pad), mode="edge")
+                cy = np.pad(pyi[start:end], (0, pad), mode="edge")
+                lights = ds.lights_at_pixels(arrays, idv, idl,
+                                             jnp.asarray(cx), jnp.asarray(cy))
+                lights = lights[None, :, None, :]  # [1,B,1,3]
+            out = render(self.state.params, jnp.asarray(o), jnp.asarray(d),
+                         near, far, lights, self.base_key,
+                         cos_anneal_ratio=cos_r,
+                         background_rgb=background_rgb)
+            rgb = np.asarray(out["color_fine"][0])[:end - start]
+            normals = (np.asarray(out["gradients"])
+                       * np.asarray(out["weights"])[:, :n_samples, None]
+                       * np.asarray(out["inside_sphere"])[..., None]
+                       ).sum(axis=1)[:end - start]
+            out_rgb.append(rgb)
+            out_normal.append(normals)
+
+        img = np.concatenate(out_rgb, 0).reshape(H, W, 3)
+        normal_img = np.concatenate(out_normal, 0).reshape(H, W, 3)
+        return img, normal_img
+
+    def validate_image(self, idv: int = -1, idl: int = -1,
+                       resolution_level: int = -1):
+        """`exp_runner.py:389-516`: render view, save render‖GT side-by-sides."""
+        if idv < 0:
+            idv = int(self._host_rng.integers(self.dataset.n_images))
+        if idl < 0:
+            idl = int(self._host_rng.integers(self.dataset.n_lights))
+        if resolution_level < 0:
+            resolution_level = self.tcfg.validate_resolution_level
+        warmup = self.iter_step < self.tcfg.warm_up_iter
+        print(f"Validate: iter: {self.iter_step}, camera: {idv}, light: {idl}",
+              flush=True)
+
+        img, normal_img = self._render_view(idv, idl, resolution_level, warmup)
+
+        gt_warm, gt_main = self.dataset.image_at_ps(idv, idl, resolution_level)
+        gt = gt_warm if warmup else gt_main
+        io.save_image(
+            os.path.join(self.base_exp_dir, "validations_fine",
+                         f"{self.iter_step:08d}_0_{idv}_{idl}.png"),
+            np.concatenate([img, gt], axis=0))
+        io.save_normal(
+            os.path.join(self.base_exp_dir, "normals",
+                         f"{self.iter_step:08d}_0_{idv}.png"),
+            np.concatenate([normal_img,
+                            self.dataset.normal_at(idv, resolution_level)],
+                           axis=0))
+        return img, normal_img
+
+    def validate_image_ps(self, idv: int = -1, resolution_level: int = -1):
+        """Per-light validation across ALL lights of one view. The reference
+        CLI advertises this mode but the method does not exist
+        (`exp_runner.py:707-710` → AttributeError); this is the working
+        equivalent."""
+        if idv < 0:
+            idv = int(self._host_rng.integers(self.dataset.n_images))
+        if resolution_level < 0:
+            resolution_level = self.tcfg.validate_resolution_level
+        warmup = self.iter_step < self.tcfg.warm_up_iter
+        imgs = []
+        for idl in range(self.dataset.n_lights):
+            img, _ = self._render_view(idv, idl, resolution_level, warmup)
+            gt_warm, gt_main = self.dataset.image_at_ps(idv, idl,
+                                                        resolution_level)
+            gt = gt_warm if warmup else gt_main
+            io.save_image(
+                os.path.join(self.base_exp_dir, "validations_ps",
+                             f"{self.iter_step:08d}_{idv}_{idl}.png"),
+                np.concatenate([img, gt], axis=0))
+            imgs.append(img)
+        return imgs
+
+    # -- validation: meshes ---------------------------------------------------
+
+    def _extract_grid(self, resolution: int) -> np.ndarray:
+        if self.mesh is not None:
+            from rnb_tpu.parallel.grid import extract_fields_sharded
+            return extract_fields_sharded(
+                self.statics, self.state.params, self.dataset.object_bbox_min,
+                self.dataset.object_bbox_max, resolution, self.mesh)
+        return rnd.extract_fields(self.statics, self.state.params,
+                                  self.dataset.object_bbox_min,
+                                  self.dataset.object_bbox_max, resolution)
+
+    def validate_mesh(self, world_space: bool = False, resolution: int = 128,
+                      threshold: float = 0.0):
+        """`exp_runner.py:561-581`."""
+        grid = self._extract_grid(resolution)
+        vertices, triangles = mc.extract_geometry(
+            grid, self.dataset.object_bbox_min, self.dataset.object_bbox_max,
+            threshold)
+        if world_space:
+            scale_mat = self.dataset.scale_mats_np[0]
+            vertices = vertices * scale_mat[0, 0] + scale_mat[:3, 3][None]
+        path = os.path.join(self.base_exp_dir, "meshes",
+                            f"{self.iter_step:08d}.ply")
+        io.write_ply(path, vertices, triangles)
+        logger.info("End")
+        return vertices, triangles
+
+    def validate_mesh_texture(self, world_space: bool = True,
+                              resolution: int = 128, threshold: float = 0.0):
+        """`exp_runner.py:584-625` with the signature fixed (the reference
+        passes world_space to a method that lacks the parameter →
+        TypeError). Vertex colors are RGB (not the reference's BGR swizzle,
+        `exp_runner.py:615`)."""
+        grid = self._extract_grid(resolution)
+        vertices, triangles = mc.extract_geometry(
+            grid, self.dataset.object_bbox_min, self.dataset.object_bbox_max,
+            threshold)
+        albedo = self._vertex_albedo(vertices)
+        verts_out = vertices
+        if world_space:
+            scale_mat = self.dataset.scale_mats_np[0]
+            verts_out = vertices * scale_mat[0, 0] + scale_mat[:3, 3][None]
+        path = os.path.join(self.base_exp_dir, "meshes",
+                            f"{self.iter_step:08d}.ply")
+        io.write_ply(path, verts_out, triangles, vertex_colors=albedo)
+        logger.info("End")
+        return verts_out, triangles, albedo
+
+    def _vertex_albedo(self, vertices: np.ndarray,
+                       chunk: int = 100000) -> np.ndarray:
+        """Chunked (sdf, grad, feature) -> color-net albedo per vertex
+        (`exp_runner.py:596-617`; normals stand in for view dirs)."""
+        from functools import partial
+
+        @partial(jax.jit)
+        def q(params, pts):
+            sdf, feat, grad = fields.sdf_value_feat_grad(
+                self.statics.sdf, params["sdf"], pts)
+            return fields.rendering_apply(self.statics.color, params["color"],
+                                          pts, grad, grad, feat)
+
+        out = np.empty_like(vertices)
+        for start in range(0, len(vertices), chunk):
+            end = min(start + chunk, len(vertices))
+            pad = chunk - (end - start) if len(vertices) > chunk else 0
+            block = vertices[start:end]
+            if pad:
+                block = np.pad(block, ((0, pad), (0, 0)))
+            vals = np.asarray(q(self.state.params,
+                                jnp.asarray(block, jnp.float32)))
+            out[start:end] = np.clip(vals[:end - start], 0, 1)
+        return out
+
+    # -- novel view -----------------------------------------------------------
+
+    def render_novel_image(self, idx_0: int, idx_1: int, ratio: float,
+                           resolution_level: int):
+        """`exp_runner.py:519-558`: vanilla NeuS radiance render along an
+        interpolated pose."""
+        from functools import partial
+        rays_o, rays_d = self.dataset.gen_rays_between(idx_0, idx_1, ratio,
+                                                       resolution_level)
+        H, W = rays_o.shape[:2]
+        rays_o = np.asarray(rays_o).reshape(-1, 3)
+        rays_d = np.asarray(rays_d).reshape(-1, 3)
+        bsz = self.tcfg.batch_size
+        render = jax.jit(partial(rnd.render, self.statics, self.rcfg))
+        background_rgb = jnp.ones((1, 3)) if self.tcfg.use_white_bkgd else None
+        out_rgb = []
+        for start in range(0, rays_o.shape[0], bsz):
+            end = min(start + bsz, rays_o.shape[0])
+            pad = bsz - (end - start)
+            o = np.pad(rays_o[start:end], ((0, pad), (0, 0)), mode="edge")
+            d = np.pad(rays_d[start:end], ((0, pad), (0, 0)), mode="edge")
+            near, far = self.dataset.near_far_from_sphere(jnp.asarray(o),
+                                                          jnp.asarray(d))
+            out = render(self.state.params, jnp.asarray(o), jnp.asarray(d),
+                         near, far, self.base_key,
+                         cos_anneal_ratio=self.get_cos_anneal_ratio(),
+                         background_rgb=background_rgb)
+            out_rgb.append(np.asarray(out["color_fine"])[:end - start])
+        img = np.concatenate(out_rgb, 0).reshape(H, W, 3)
+        return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+    def interpolate_view(self, img_idx_0: int, img_idx_1: int,
+                         n_frames: int = 60):
+        """`exp_runner.py:628-662`: mp4 of slerp-interpolated views."""
+        import cv2 as cv
+        images = []
+        for i in range(n_frames):
+            ratio = np.sin(((i / n_frames) - 0.5) * np.pi) * 0.5 + 0.5
+            images.append(self.render_novel_image(img_idx_0, img_idx_1, ratio,
+                                                  resolution_level=4))
+        images += images[::-1]
+        video_dir = os.path.join(self.base_exp_dir, "render")
+        os.makedirs(video_dir, exist_ok=True)
+        h, w = images[0].shape[:2]
+        path = os.path.join(video_dir,
+                            f"{self.iter_step:08d}_{img_idx_0}_{img_idx_1}.mp4")
+        writer = cv.VideoWriter(path, cv.VideoWriter_fourcc(*"mp4v"), 30,
+                                (w, h))
+        for image in images:
+            writer.write(image[..., ::-1])  # RGB -> BGR for OpenCV
+        writer.release()
+        return path

@@ -1,0 +1,148 @@
+"""Offline-tool tests: scene normalization recovers the synthetic sphere's
+center/scale; sdm2idr and the VisualSFM parser round-trip synthetic inputs."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "preprocess"))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+
+def test_normalization_recovers_sphere(tmp_path):
+    """Build an un-normalized synthetic case (world = sphere at offset c,
+    radius r, identity scale mats), run the normalization, and check the
+    estimated scale_mat brings the object near the unit sphere."""
+    from make_synthetic_case import write_case
+    from preprocess_cameras import get_normalization
+
+    case = str(tmp_path / "case")
+    write_case(case, n_views=6, H=96, W=96, radius=0.45)
+
+    norm = get_normalization(case, seed=0)
+    # sphere is centered at origin with radius 0.45 -> centroid ~0,
+    # scale ~ O(radius)
+    assert np.abs(norm[:3, 3]).max() < 0.15
+    s = norm[0, 0]
+    assert 0.1 < s < 1.5
+    # cameras.npz now contains scale mats; the Dataset must load it
+    from rnb_tpu import config as cfglib
+    from rnb_tpu.data import dataset as ds
+    conf = cfglib.parse_string(
+        f"data_dir = {case}\nrender_cameras_name = cameras.npz\n"
+        "object_cameras_name = cameras.npz\nnormal_dir = normal\n"
+        "albedo_dir = albedo\nmask_dir = mask\n")
+    loaded = ds.Dataset.from_conf(conf)
+    # after normalization the object bbox should be within ~unit range
+    assert np.all(np.isfinite(loaded.object_bbox_min))
+    assert np.all(loaded.object_bbox_max > loaded.object_bbox_min)
+
+
+def test_sdm2idr_roundtrip(tmp_path):
+    import scipy.io
+    from sdm2idr import convert
+    from rnb_tpu.utils import io
+
+    src = tmp_path / "src"
+    inp = tmp_path / "inp"
+    out = tmp_path / "out"
+    n_views = 3
+    rng = np.random.default_rng(0)
+
+    mats = {"KK": np.array([[500.0, 0, 64], [0, 500.0, 64], [0, 0, 1]])}
+    for i in range(1, n_views + 1):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        w, x, y, z = q
+        R = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+        mats[f"Rc_{i}"] = R
+        mats[f"Tc_{i}"] = rng.normal(size=(3, 1))
+        os.makedirs(src / f"view_{i:02d}")
+        io.save_image(str(src / f"view_{i:02d}" / "mask.png"),
+                      np.ones((8, 8, 3)))
+    os.makedirs(src, exist_ok=True)
+    scipy.io.savemat(str(src / "Calib_Results.mat"), mats)
+
+    img = rng.uniform(size=(8, 8, 3))
+    for i in range(n_views):
+        os.makedirs(inp / f"{i:03d}.data")
+        io.save_image(str(inp / f"{i:03d}.data" / "normal.png"), img)
+        io.save_image(str(inp / f"{i:03d}.data" / "baseColor.png"), img)
+
+    n = convert(str(inp), str(src), str(out))
+    assert n == n_views
+    cams = np.load(out / "cameras.npz")
+    for i in range(n_views):
+        P = cams[f"world_mat_{i}"]
+        assert P.shape == (4, 4)
+        # world_mat = K [R|t]: check P[:3,:3] = KK @ R
+        np.testing.assert_allclose(P[:3, :3], mats["KK"] @ mats[f"Rc_{i + 1}"],
+                                   rtol=1e-5)
+        assert os.path.exists(out / "normal" / f"{i:03d}.png")
+        assert os.path.exists(out / "albedo" / f"{i:03d}.png")
+        assert os.path.exists(out / "mask" / f"{i:03d}.png")
+
+
+def test_sfm_parser(tmp_path):
+    from sfm_cameras_to_npz import parse_cameras_v2, world_mats
+
+    txt = tmp_path / "cameras_v2.txt"
+    txt.write_text("""# Camera parameter file.
+# The nubmer of cameras in this reconstruction
+2
+
+img_000.jpg
+orig_000.jpg
+800.5
+320.0 240.0
+0.1 0.2 0.3
+1.0 2.0 3.0
+0.0 0.0 0.0
+1.0 0.0 0.0 0.0
+1.0 0.0 0.0
+0.0 1.0 0.0
+0.0 0.0 1.0
+0.0
+
+img_001.jpg
+orig_001.jpg
+900.0
+320.0 240.0
+0.4 0.5 0.6
+4.0 5.0 6.0
+0.0 0.0 0.0
+1.0 0.0 0.0 0.0
+0.0 1.0 0.0
+1.0 0.0 0.0
+0.0 0.0 -1.0
+0.0
+""")
+    cams = parse_cameras_v2(str(txt))
+    assert len(cams) == 2
+    assert cams[0]["focal"] == 800.5
+    assert cams[0]["T"] == [0.1, 0.2, 0.3]
+    mats = world_mats(cams)
+    assert "world_mat_0" in mats and "scale_mat_1" in mats
+    P = mats["world_mat_0"]
+    K = np.array([[800.5, 0, 320], [0, 800.5, 240], [0, 0, 1]])
+    np.testing.assert_allclose(P[:3, :3], K @ np.eye(3), rtol=1e-6)
+    np.testing.assert_allclose(P[:3, 3], K @ np.array([0.1, 0.2, 0.3]),
+                               rtol=1e-5)
+
+
+def test_compare_images_tool(tmp_path):
+    from compare_images import compare_pair
+    from rnb_tpu.utils import io
+    rng = np.random.default_rng(1)
+    a = rng.uniform(size=(16, 16, 3))
+    io.save_image(str(tmp_path / "a.png"), a, bit_depth=16)
+    io.save_image(str(tmp_path / "b.png"), a, bit_depth=16)
+    mse, psnr = compare_pair(str(tmp_path / "a.png"), str(tmp_path / "b.png"))
+    assert mse < 1e-7 and psnr > 60

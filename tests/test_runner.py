@@ -1,0 +1,180 @@
+"""End-to-end Runner tests on a tiny synthetic scene: full train loop with
+validation/checkpoint cadence, resume, mesh + texture export, CLI dispatch
+through the on-disk IDR layout (SURVEY.md §4 'golden-value tests of a few
+training steps on a tiny synthetic scene')."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from rnb_tpu.data import dataset as ds
+from rnb_tpu.train.runner import Runner
+from rnb_tpu.utils import io
+
+CONF_TMPL = """
+general {{
+    base_exp_dir = {exp_dir}
+    recording = []
+}}
+dataset {{
+    data_dir = {data_dir}
+    normal_dir = normal
+    albedo_dir = albedo
+    mask_dir = mask
+    render_cameras_name = cameras.npz
+    object_cameras_name = cameras.npz
+}}
+train {{
+    learning_rate = 5e-4,
+    learning_rate_alpha = 0.05,
+    end_iter = {end_iter},
+    warm_up_iter = {warm_up_iter},
+    batch_size = 64,
+    validate_resolution_level = 8,
+    warm_up_end = 5,
+    anneal_end = 0,
+    use_white_bkgd = False,
+    save_freq = {save_freq},
+    val_freq = {val_freq},
+    val_mesh_freq = {val_mesh_freq},
+    report_freq = 4,
+    igr_weight = 0.1,
+    mask_weight = 0.1,
+}}
+model {{
+    nerf {{ D = 2, d_in = 4, d_in_view = 3, W = 32, multires = 4,
+           multires_view = 2, output_ch = 4, skips = [1], use_viewdirs = True }}
+    sdf_network {{ d_out = 65, d_in = 3, d_hidden = 64, n_layers = 4,
+                   skip_in = [2], multires = 4, bias = 0.5, scale = 1.0,
+                   geometric_init = True, weight_norm = True }}
+    variance_network {{ init_val = 0.3 }}
+    rendering_network {{ d_feature = 64, mode = no_view_dir, d_in = 6,
+                         d_out = 3, d_hidden = 64, n_layers = 2,
+                         weight_norm = True, multires_view = 2,
+                         squeeze_out = True }}
+    neus_renderer {{ n_samples = 8, n_importance = 8, n_outside = 0,
+                     up_sample_steps = 2, perturb = 1.0 }}
+}}
+"""
+
+
+@pytest.fixture(scope="module")
+def case_dir(tmp_path_factory):
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from make_synthetic_case import write_case
+    d = tmp_path_factory.mktemp("data") / "sphere"
+    write_case(str(d), n_views=3, H=32, W=32, radius=0.4)
+    return str(d)
+
+
+def _write_conf(tmp_path, case_dir, **kw):
+    conf_path = str(tmp_path / "test.conf")
+    defaults = dict(exp_dir=str(tmp_path / "exp"), data_dir=case_dir,
+                    end_iter=12, warm_up_iter=8, save_freq=6, val_freq=10,
+                    val_mesh_freq=10)
+    defaults.update(kw)
+    with open(conf_path, "w") as f:
+        f.write(CONF_TMPL.format(**defaults))
+    return conf_path, defaults["exp_dir"]
+
+
+def test_disk_dataset_roundtrip(case_dir):
+    """On-disk IDR layout loads back to the same arrays (16-bit PNG precision)."""
+    from rnb_tpu import config as cfglib
+    conf = cfglib.parse_string(
+        f"data_dir = {case_dir}\nnormal_dir = normal\nalbedo_dir = albedo\n"
+        "mask_dir = mask\nrender_cameras_name = cameras.npz\n"
+        "object_cameras_name = cameras.npz\n")
+    loaded = ds.Dataset.from_conf(conf)
+    ref = ds.make_sphere_scene(n_views=3, H=32, W=32, radius=0.4)
+    np.testing.assert_allclose(np.asarray(loaded.arrays.normals),
+                               np.asarray(ref.arrays.normals), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(loaded.arrays.albedos),
+                               np.asarray(ref.arrays.albedos), atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(loaded.arrays.masks),
+                                  np.asarray(ref.arrays.masks))
+    np.testing.assert_allclose(np.asarray(loaded.arrays.pose_all),
+                               np.asarray(ref.arrays.pose_all), atol=1e-4)
+
+
+def test_full_train_loop_with_validation(tmp_path, case_dir):
+    conf_path, exp_dir = _write_conf(tmp_path, case_dir)
+    runner = Runner(conf_path, "train_rnb", shard="off")
+    assert runner.dataset.n_images == 3
+    runner.train_rnb()
+    assert runner.iter_step == 12
+    # checkpoints at 6 and 12
+    assert os.path.exists(os.path.join(exp_dir, "checkpoints",
+                                       "ckpt_000006.npz"))
+    assert os.path.exists(os.path.join(exp_dir, "checkpoints",
+                                       "ckpt_000012.npz"))
+    # validation artifacts at iter 10
+    assert len(os.listdir(os.path.join(exp_dir, "validations_fine"))) >= 1
+    assert len(os.listdir(os.path.join(exp_dir, "normals"))) >= 1
+    assert len(os.listdir(os.path.join(exp_dir, "meshes"))) >= 1
+    # scalar log exists and parses
+    import json
+    lines = open(os.path.join(exp_dir, "logs", "scalars.jsonl")).readlines()
+    assert len(lines) >= 2
+    rec = json.loads(lines[-1])
+    assert np.isfinite(rec.get("Loss/loss", np.nan)) or "Perf/rays_per_s" in rec
+
+
+def test_resume_continues_from_checkpoint(tmp_path, case_dir):
+    conf_path, exp_dir = _write_conf(tmp_path, case_dir, end_iter=6,
+                                     save_freq=3, val_freq=100,
+                                     val_mesh_freq=100)
+    r1 = Runner(conf_path, "train_rnb", shard="off")
+    r1.train_rnb()
+    assert r1.iter_step == 6
+    # bump end_iter and resume
+    conf_path2, _ = _write_conf(tmp_path, case_dir, end_iter=8, save_freq=3,
+                                val_freq=100, val_mesh_freq=100)
+    r2 = Runner(conf_path2, "train_rnb", is_continue=True, shard="off")
+    assert r2.iter_step == 6
+    r2.train_rnb()
+    assert r2.iter_step == 8
+
+
+def test_validate_mesh_texture_and_image_ps(tmp_path, case_dir):
+    conf_path, exp_dir = _write_conf(tmp_path, case_dir, end_iter=2,
+                                     warm_up_iter=1, save_freq=100,
+                                     val_freq=100, val_mesh_freq=100)
+    runner = Runner(conf_path, "train_rnb", shard="off")
+    runner.train_rnb()
+    verts, tris, albedo = runner.validate_mesh_texture(world_space=True,
+                                                      resolution=32)
+    assert len(verts) > 0 and albedo.shape == verts.shape
+    assert np.all(albedo >= 0) and np.all(albedo <= 1)
+    v2, t2, c2 = io.read_ply(os.path.join(
+        exp_dir, "meshes", f"{runner.iter_step:08d}.ply"))
+    assert c2 is not None and len(v2) == len(verts)
+    # the fixed validate_image_ps renders one image per light
+    imgs = runner.validate_image_ps(idv=0, resolution_level=8)
+    assert len(imgs) == runner.dataset.n_lights
+    assert len(os.listdir(os.path.join(exp_dir, "validations_ps"))) == 3
+
+
+def test_sharded_runner_smoke(tmp_path, case_dir):
+    """shard='auto' on the 8-device CPU mesh."""
+    conf_path, exp_dir = _write_conf(tmp_path, case_dir, end_iter=3,
+                                     warm_up_iter=2, save_freq=100,
+                                     val_freq=100, val_mesh_freq=100)
+    runner = Runner(conf_path, "train_rnb", shard="auto")
+    assert runner.mesh is not None, "expected auto-sharding on 8 devices"
+    runner.train_rnb()
+    assert runner.iter_step == 3
+    verts, _ = runner.validate_mesh(resolution=24)
+    assert len(verts) > 0
+
+
+def test_novel_view_render(tmp_path, case_dir):
+    conf_path, _ = _write_conf(tmp_path, case_dir, end_iter=1, warm_up_iter=1,
+                               save_freq=100, val_freq=100, val_mesh_freq=100)
+    runner = Runner(conf_path, "train_rnb", shard="off")
+    runner.train_rnb()
+    img = runner.render_novel_image(0, 1, 0.5, resolution_level=8)
+    assert img.shape == (4, 4, 3) and img.dtype == np.uint8
