@@ -166,7 +166,17 @@ def sdf_apply(cfg: SDFConfig, params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def sdf_only(cfg: SDFConfig, params, x: jnp.ndarray) -> jnp.ndarray:
-    return sdf_apply(cfg, params, x)[..., 0]
+    """SDF channel only. Slices the final layer to its first output column
+    before the matmul (column-slicing commutes with per-column weight norm),
+    skipping the 256-wide feature head — the reference's `sdf()` computes and
+    discards it (`fields.py:106-108`), which costs ~12% of every up-sampling
+    sweep and grid query."""
+    last = params[-1]
+    if "v" in last:
+        sliced = {"v": last["v"][:, :1], "g": last["g"][:1], "b": last["b"][:1]}
+    else:
+        sliced = {"w": last["w"][:, :1], "b": last["b"][:1]}
+    return sdf_apply(cfg, params[:-1] + [sliced], x)[..., 0]
 
 
 def sdf_value_feat_grad(cfg: SDFConfig, params, pts: jnp.ndarray):

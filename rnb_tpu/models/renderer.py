@@ -142,6 +142,14 @@ def up_sample(rays_o, rays_d, z_vals, sdf, n_importance: int, inv_s: float) -> j
     return jax.lax.stop_gradient(sample_pdf(z_vals, weights, n_importance, det=True))
 
 
+def _sdf_infer(statics: ModelStatics, params, pts_flat: jnp.ndarray):
+    """No-grad SDF sweep: fused Pallas kernel on TPU, XLA elsewhere."""
+    from rnb_tpu.ops import pallas_mlp
+    if pallas_mlp.use_fused(statics.sdf):
+        return pallas_mlp.sdf_only_fused(statics.sdf, params["sdf"], pts_flat)
+    return fields.sdf_only(statics.sdf, params["sdf"], pts_flat)
+
+
 def cat_z_vals(statics: ModelStatics, params, rays_o, rays_d, z_vals, new_z_vals,
                sdf, last: bool):
     """Merge-sort new z-values in; re-query SDF at them unless final round
@@ -153,7 +161,7 @@ def cat_z_vals(statics: ModelStatics, params, rays_o, rays_d, z_vals, new_z_vals
     if last:
         return z_sorted, sdf
     pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z_vals[..., :, None]
-    new_sdf = fields.sdf_only(statics.sdf, params["sdf"], pts.reshape(-1, 3))
+    new_sdf = _sdf_infer(statics, params, pts.reshape(-1, 3))
     new_sdf = new_sdf.reshape(batch_size, new_z_vals.shape[-1])
     sdf_cat = jnp.concatenate([sdf, new_sdf], axis=-1)
     return z_sorted, jnp.take_along_axis(sdf_cat, order, axis=-1)
@@ -168,7 +176,7 @@ def upsampled_z_vals(statics: ModelStatics, rcfg: RendererConfig, params,
     params = jax.lax.stop_gradient(params)
     batch_size = z_vals.shape[0]
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., :, None]
-    sdf = fields.sdf_only(statics.sdf, params["sdf"], pts.reshape(-1, 3))
+    sdf = _sdf_infer(statics, params, pts.reshape(-1, 3))
     sdf = sdf.reshape(batch_size, rcfg.n_samples)
     per_round = rcfg.n_importance // rcfg.up_sample_steps
     for i in range(rcfg.up_sample_steps):
@@ -228,13 +236,29 @@ def render_core_mvps(statics: ModelStatics, params, rays_o, rays_d, z_vals,
     pts_flat = pts.reshape(-1, 3)
     dirs_flat = dirs.reshape(-1, 3)
 
-    sdf, feature, gradients = fields.sdf_value_feat_grad(
-        statics.sdf, params["sdf"], pts_flat)
+    # RNB_REMAT=1: rematerialize the field networks in the backward pass
+    # instead of storing their activations — the step is HBM-bandwidth-bound
+    # (~25 GB/step at batch 512 under plain XLA), so trading recompute FLOPs
+    # for activation traffic can win. Off by default pending benchmarks.
+    import os as _os
+    remat = _os.environ.get("RNB_REMAT", "0") == "1"
+
+    def _svfg(p, x):
+        return fields.sdf_value_feat_grad(statics.sdf, p, x)
+
+    def _color(p, x, g, d, f):
+        return fields.rendering_apply(statics.color, p, x, g, d, f)
+
+    if remat:
+        _svfg = jax.checkpoint(_svfg)
+        _color = jax.checkpoint(_color)
+
+    sdf, feature, gradients = _svfg(params["sdf"], pts_flat)
     sdf = sdf[:, None]
 
     if need_albedo:
-        sampled_albedo = fields.rendering_apply(
-            statics.color, params["color"], pts_flat, gradients, dirs_flat, feature
+        sampled_albedo = _color(
+            params["color"], pts_flat, gradients, dirs_flat, feature
         ).reshape(batch_size, n_samples, statics.color.d_out)
     else:
         sampled_albedo = jnp.ones((batch_size, n_samples, statics.color.d_out))
@@ -472,7 +496,11 @@ def make_grid_points(bound_min, bound_max, resolution: int) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnums=(0, 3))
 def _query_chunk(sdf_cfg, sdf_params, pts, negate: bool):
-    v = fields.sdf_only(sdf_cfg, sdf_params, pts)
+    from rnb_tpu.ops import pallas_mlp
+    if pallas_mlp.use_fused(sdf_cfg):
+        v = pallas_mlp.sdf_only_fused(sdf_cfg, sdf_params, pts)
+    else:
+        v = fields.sdf_only(sdf_cfg, sdf_params, pts)
     return -v if negate else v
 
 
