@@ -16,11 +16,16 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 
 
 def main(argv=None):
     FORMAT = "[%(filename)s:%(lineno)s - %(funcName)20s() ] %(message)s"
     logging.basicConfig(level=logging.INFO, format=FORMAT)
+
+    if os.environ.get("RNB_DEBUG_NANS", "0") == "1":
+        import jax
+        jax.config.update("jax_debug_nans", True)
 
     parser = argparse.ArgumentParser(description="rnb_tpu experiment runner")
     parser.add_argument("--conf", type=str, default="./confs/wmask_rnb.conf")

@@ -255,6 +255,15 @@ def rendering_apply(cfg: RenderingConfig, params, points, normals, view_dirs,
     else:
         raise ValueError(f"unknown rendering mode {cfg.mode!r}")
 
+    want = cfg.dims[0]
+    if h.shape[-1] != want:
+        raise ValueError(
+            f"rendering_network input is {h.shape[-1]}-d but the conf implies "
+            f"{want}-d (d_in={cfg.d_in}, mode={cfg.mode!r}, "
+            f"multires_view={cfg.multires_view}, d_feature={cfg.d_feature}); "
+            f"for mode 'no_view_dir' d_in must count points+normals only (6, "
+            f"`/root/reference/confs/wmask_rnb.conf:74`)")
+
     for l, layer in enumerate(params):
         h = linear_apply(layer, h)
         if l < len(params) - 1:

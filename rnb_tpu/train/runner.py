@@ -125,18 +125,44 @@ class Runner:
         t_report = time.time()
         rays_done = 0
 
+        # tracing/profiling (SURVEY.md §5: the reference has none; we expose
+        # jax.profiler traces of a step window via env vars)
+        prof_dir = os.environ.get("RNB_PROFILE_DIR", "")
+        prof_start = int(os.environ.get("RNB_PROFILE_START", "20"))
+        prof_steps = int(os.environ.get("RNB_PROFILE_STEPS", "20"))
+        prof_active = False
+
         for _ in range(res_step):
             it = self.iter_step
             warmup = it < self.tcfg.warm_up_iter
             view = int(image_perm[it % len(image_perm)])
+            if prof_dir and it == prof_start:
+                jax.profiler.start_trace(prof_dir)
+                prof_active = True
             fn = self._get_step_fn(warmup)
             self.state, metrics = fn(self.state, self.dataset.arrays, view,
                                      self.base_key)
+            if prof_active and it >= prof_start + prof_steps - 1:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
+                prof_active = False
+                logger.info("profiler trace written to %s", prof_dir)
             it = self.iter_step  # post-increment
             rays_done += self.tcfg.batch_size
 
             if it % 10 == 0 or it % self.tcfg.report_freq == 0:
                 m = {k: float(v) for k, v in metrics.items()}
+                # NaN guard (SURVEY.md §5 sanitizers): fail fast with a
+                # diagnostic checkpoint instead of training on garbage
+                if not np.isfinite(m["loss"]):
+                    path = ckptlib.checkpoint_path(
+                        os.path.join(self.base_exp_dir, "checkpoints"), it,
+                        prefix="nan_dump_")
+                    ckptlib.save_checkpoint(path, self.state)
+                    raise FloatingPointError(
+                        f"non-finite loss at iter {it}: {m} "
+                        f"(state dumped to {path}; rerun with "
+                        f"RNB_DEBUG_NANS=1 to locate the op)")
                 self.writer.log(it, {
                     "Loss/loss": m["loss"],
                     "Loss/color_loss": m["color_loss"],

@@ -58,10 +58,10 @@ def load_checkpoint(path: str, template: Any) -> Any:
 CKPT_RE = re.compile(r"ckpt_(\d+)\.npz$")
 
 
-def checkpoint_path(ckpt_dir: str, step: int) -> str:
-    """ckpt_{iter:06d}.npz — mirrors the reference naming
+def checkpoint_path(ckpt_dir: str, step: int, prefix: str = "ckpt_") -> str:
+    """{prefix}{iter:06d}.npz — mirrors the reference naming
     (`exp_runner.py:386`)."""
-    return os.path.join(ckpt_dir, f"ckpt_{step:06d}.npz")
+    return os.path.join(ckpt_dir, f"{prefix}{step:06d}.npz")
 
 
 def latest_checkpoint(ckpt_dir: str, end_iter: int | None = None) -> str | None:
