@@ -25,8 +25,9 @@ REFERENCE_RAYS_PER_S = 2816.0
 
 
 def main():
-    os.environ.setdefault("RNB_MATMUL_PRECISION",
-                          os.environ.get("RNB_BENCH_PRECISION", "highest"))
+    # measure the library's shipped defaults ('high' matmul precision + bf16
+    # no-grad up-sampling — accuracy-validated in tools/validate_precision.py);
+    # RNB_MATMUL_PRECISION / RNB_UPSAMPLE_PREC override for studies
     import jax
     import numpy as np
 

@@ -21,12 +21,16 @@ import os as _os
 
 import jax as _jax
 
-# JAX's DEFAULT matmul precision truncates inputs to bf16 (TPU MXU fast path).
-# That is fine for the big MLP matmuls once validated, but it silently breaks
-# parity-critical small geometry math (camera rays, light frames) and SDF
-# zero-crossing placement. Default the package to full-f32 ('highest');
-# override with RNB_MATMUL_PRECISION=default|high|highest for perf experiments
-# (the Pallas kernels control their own precision explicitly).
-_prec = _os.environ.get("RNB_MATMUL_PRECISION", "highest")
+# Global matmul precision. On the TPU MXU an f32 'highest' dot costs 6 bf16
+# passes, 'high' costs 3 (bf16_3x, ~f32-accurate), 'default' costs 1 (raw
+# bf16 inputs). Convergence validation on the synthetic-sphere scene
+# (tools/validate_precision.py, 400 steps, v5e) shows identical mesh accuracy
+# at all three (radius err 0.003-0.004) with high 24% and default 37% faster
+# than highest, so the package defaults to 'high': near-f32 numerics on the
+# differentiable path at 2x the MXU rate. RNB_MATMUL_PRECISION=default is the
+# validated turbo option; =highest restores exact-f32 for parity studies.
+# (No-grad up-sampling sweeps run in explicit bf16 regardless — see
+# fields.sdf_only_lowp; Pallas kernels control their own precision.)
+_prec = _os.environ.get("RNB_MATMUL_PRECISION", "high")
 _jax.config.update("jax_default_matmul_precision", _prec)
 

@@ -179,6 +179,43 @@ def sdf_only(cfg: SDFConfig, params, x: jnp.ndarray) -> jnp.ndarray:
     return sdf_apply(cfg, params[:-1] + [sliced], x)[..., 0]
 
 
+def sdf_only_lowp(cfg: SDFConfig, params, x: jnp.ndarray) -> jnp.ndarray:
+    """bf16 SDF inference for the no-grad up-sampling sweeps.
+
+    The 5 per-step up-sampling sweeps (`/root/reference/models/renderer.py:
+    965-984`) only *place samples* — their SDF values never enter the loss, so
+    bf16 matmuls (1 MXU pass instead of the 6 an f32-highest dot costs) are
+    safe there. Kept precise where it's cheap: weight-norm folding, positional
+    encoding and softplus stay f32; only matmul operands are bf16 with f32
+    accumulation. The differentiable path (sdf_value_feat_grad) is untouched.
+    """
+    embed_fn, _ = make_embedder(cfg.multires, cfg.d_in)
+    inputs = embed_fn(x * cfg.scale).astype(jnp.bfloat16)
+    # fold weight norm in f32, slice the sdf head, cast once
+    dense = []
+    for layer in params:
+        if "v" in layer:
+            v = layer["v"]
+            norm = jnp.linalg.norm(v, axis=0, keepdims=True)
+            w = v * (layer["g"][None, :] / jnp.maximum(norm, 1e-12))
+        else:
+            w = layer["w"]
+        dense.append((w, layer["b"]))
+    w_last, b_last = dense[-1]
+    dense = dense[:-1] + [(w_last[:, :1], b_last[:1])]
+
+    h = inputs
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    for l, (w, b) in enumerate(dense):
+        if l in cfg.skip_in:
+            h = (jnp.concatenate([h, inputs], axis=-1) * inv_sqrt2)
+        h = jnp.dot(h.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32) + b
+        if l < len(dense) - 1:
+            h = softplus100(h).astype(jnp.bfloat16)
+    return h[..., 0] / cfg.scale
+
+
 def sdf_value_feat_grad(cfg: SDFConfig, params, pts: jnp.ndarray):
     """One fused pass: sdf [N], feature [N,F], gradient d sdf/d pts [N,3].
 

@@ -143,10 +143,21 @@ def up_sample(rays_o, rays_d, z_vals, sdf, n_importance: int, inv_s: float) -> j
 
 
 def _sdf_infer(statics: ModelStatics, params, pts_flat: jnp.ndarray):
-    """No-grad SDF sweep: fused Pallas kernel on TPU, XLA elsewhere."""
+    """No-grad SDF sweep (sample placement only, values never enter the loss).
+
+    Default: bf16 matmuls with f32 accumulation (fields.sdf_only_lowp) — on
+    TPU this costs 1 MXU pass per dot instead of the 6 of f32-highest, and
+    sample-placement accuracy is unaffected (validated by
+    tools/validate_precision.py: sphere-mesh error identical to f32).
+    RNB_UPSAMPLE_PREC=f32 restores exact-f32 sweeps; RNB_PALLAS=1 selects the
+    fused Pallas kernel (benchmarked slower than XLA on v5e, kept for study).
+    """
+    import os
     from rnb_tpu.ops import pallas_mlp
     if pallas_mlp.use_fused(statics.sdf):
         return pallas_mlp.sdf_only_fused(statics.sdf, params["sdf"], pts_flat)
+    if os.environ.get("RNB_UPSAMPLE_PREC", "bf16") == "bf16":
+        return fields.sdf_only_lowp(statics.sdf, params["sdf"], pts_flat)
     return fields.sdf_only(statics.sdf, params["sdf"], pts_flat)
 
 

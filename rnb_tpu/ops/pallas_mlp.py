@@ -86,21 +86,21 @@ def _run(cfg: SDFConfig, flat_args, interpret: bool):
     n = pts_pad.shape[0]
     grid = (n // BLOCK,)
 
-    in_specs = [pl.BlockSpec((BLOCK, 3), lambda i: (i, 0),
-                             memory_space=pltpu.ANY if interpret else pltpu.VMEM)]
+    mspace = pl.ANY if interpret else pltpu.VMEM
+    in_specs = [pl.BlockSpec((BLOCK, 3), lambda i: (i, 0), memory_space=mspace)]
     for w in weights:
         in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
-                                     memory_space=pltpu.ANY if interpret else pltpu.VMEM))
+                                     memory_space=mspace))
     for b in biases:
         in_specs.append(pl.BlockSpec(b.shape, lambda i: (0,),
-                                     memory_space=pltpu.ANY if interpret else pltpu.VMEM))
+                                     memory_space=mspace))
 
     return pl.pallas_call(
         functools.partial(_kernel, cfg, n_layers),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((BLOCK, 1), lambda i: (i, 0),
-                               memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                               memory_space=mspace),
         out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
         interpret=interpret,
     )(pts_pad, *weights, *biases)

@@ -119,11 +119,19 @@ class Runner:
 
     def train_rnb(self):
         """The training loop (`exp_runner.py:156-306`)."""
+        from collections import deque
         self.writer = ScalarLogger(os.path.join(self.base_exp_dir, "logs"))
         res_step = self.tcfg.end_iter - self.iter_step
         image_perm = self._host_rng.permutation(self.dataset.n_images)
         t_report = time.time()
         rays_done = 0
+        # Deferred metric fetch: converting a metric to float blocks the host
+        # until that step's program finishes, which collapses the dispatch
+        # pipeline. We queue metric pytrees and only materialize them once
+        # they are LAG steps old (already computed => the fetch is free). The
+        # NaN fail-fast consequently lags LAG steps behind the live step.
+        LAG = 16
+        pending: deque = deque()
 
         # tracing/profiling (SURVEY.md §5: the reference has none; we expose
         # jax.profiler traces of a step window via env vars)
@@ -151,40 +159,16 @@ class Runner:
             rays_done += self.tcfg.batch_size
 
             if it % 10 == 0 or it % self.tcfg.report_freq == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                # NaN guard (SURVEY.md §5 sanitizers): fail fast with a
-                # diagnostic checkpoint instead of training on garbage
-                if not np.isfinite(m["loss"]):
-                    path = ckptlib.checkpoint_path(
-                        os.path.join(self.base_exp_dir, "checkpoints"), it,
-                        prefix="nan_dump_")
-                    ckptlib.save_checkpoint(path, self.state)
-                    raise FloatingPointError(
-                        f"non-finite loss at iter {it}: {m} "
-                        f"(state dumped to {path}; rerun with "
-                        f"RNB_DEBUG_NANS=1 to locate the op)")
-                self.writer.log(it, {
-                    "Loss/loss": m["loss"],
-                    "Loss/color_loss": m["color_loss"],
-                    "Loss/eikonal_loss": m["eikonal_loss"],
-                    "Loss/mask_loss": m["mask_loss"],
-                    "Statistics/s_val": m["s_val"],
-                    "Statistics/cdf": m["cdf"],
-                    "Statistics/weight_max": m["weight_max"],
-                    "Statistics/psnr": m["psnr"],
-                    "lr": m["lr"],
-                })
+                pending.append((it, metrics))
+            while pending and (self.iter_step - pending[0][0] >= LAG
+                               or len(pending) > 4 * LAG):
+                self._consume_metrics(*pending.popleft())
 
             if it % self.tcfg.report_freq == 0:
                 dt = time.time() - t_report
                 rps = rays_done / max(dt, 1e-9)
                 t_report, rays_done = time.time(), 0
-                m = {k: float(v) for k, v in metrics.items()}
-                print(f"iter:{it:8d} loss={m['loss']:.5f} "
-                      f"color={m['color_loss']:.5f} "
-                      f"eik={m['eikonal_loss'] * self.tcfg.igr_weight:.5f} "
-                      f"mask={m['mask_loss'] * self.tcfg.mask_weight:.5f} "
-                      f"lr={m['lr']:.3e} rays/s={rps:.0f}", flush=True)
+                self._report_rps = rps
                 self.writer.log(it, {"Perf/rays_per_s": rps})
 
             if it % self.tcfg.save_freq == 0:
@@ -195,6 +179,42 @@ class Runner:
                 self.validate_mesh()
             if it % self.dataset.n_images == 0:
                 image_perm = self._host_rng.permutation(self.dataset.n_images)
+
+        while pending:
+            self._consume_metrics(*pending.popleft())
+
+    def _consume_metrics(self, it: int, metrics):
+        """Materialize and log one step's metrics (runs LAG steps behind)."""
+        m = {k: float(v) for k, v in metrics.items()}
+        # NaN guard (SURVEY.md §5 sanitizers): fail fast with a diagnostic
+        # checkpoint instead of training on garbage
+        if not np.isfinite(m["loss"]):
+            path = ckptlib.checkpoint_path(
+                os.path.join(self.base_exp_dir, "checkpoints"), it,
+                prefix="nan_dump_")
+            ckptlib.save_checkpoint(path, self.state)
+            raise FloatingPointError(
+                f"non-finite loss at iter {it}: {m} "
+                f"(state dumped to {path}; rerun with "
+                f"RNB_DEBUG_NANS=1 to locate the op)")
+        self.writer.log(it, {
+            "Loss/loss": m["loss"],
+            "Loss/color_loss": m["color_loss"],
+            "Loss/eikonal_loss": m["eikonal_loss"],
+            "Loss/mask_loss": m["mask_loss"],
+            "Statistics/s_val": m["s_val"],
+            "Statistics/cdf": m["cdf"],
+            "Statistics/weight_max": m["weight_max"],
+            "Statistics/psnr": m["psnr"],
+            "lr": m["lr"],
+        })
+        if it % self.tcfg.report_freq == 0:
+            rps = getattr(self, "_report_rps", 0.0)
+            print(f"iter:{it:8d} loss={m['loss']:.5f} "
+                  f"color={m['color_loss']:.5f} "
+                  f"eik={m['eikonal_loss'] * self.tcfg.igr_weight:.5f} "
+                  f"mask={m['mask_loss'] * self.tcfg.mask_weight:.5f} "
+                  f"lr={m['lr']:.3e} rays/s={rps:.0f}", flush=True)
 
     # -- checkpointing --------------------------------------------------------
 

@@ -152,3 +152,16 @@ def test_param_pytree_is_optax_safe():
     grads = jax.tree_util.tree_map(jnp.zeros_like, params)
     updates, _ = opt.update(grads, state, params)
     assert all(np.all(np.asarray(u) == 0) for u in jax.tree_util.tree_leaves(updates))
+
+
+def test_sdf_only_lowp_close_to_f32(sdf_cfg, sdf_params):
+    """bf16 inference path used by the up-sampling sweeps: must track the f32
+    SDF to bf16 tolerance (values only place samples, never enter the loss)."""
+    pts = jnp.asarray(np.random.default_rng(1).normal(size=(256, 3)) * 0.6,
+                      jnp.float32)
+    ref = np.asarray(fields.sdf_only(sdf_cfg, sdf_params, pts))
+    low = np.asarray(fields.sdf_only_lowp(sdf_cfg, sdf_params, pts))
+    assert low.dtype == np.float32
+    np.testing.assert_allclose(low, ref, atol=0.02)
+    # correlation-preserving: ordering of well-separated values is kept
+    assert np.corrcoef(ref, low)[0, 1] > 0.999
