@@ -185,6 +185,12 @@ def upsampled_z_vals(statics: ModelStatics, rcfg: RendererConfig, params,
     if rcfg.n_importance <= 0:
         return z_vals
     params = jax.lax.stop_gradient(params)
+    from rnb_tpu.ops import pallas_upsample
+    if pallas_upsample.use_fused(statics.sdf, rcfg.n_importance,
+                                 rcfg.up_sample_steps):
+        return pallas_upsample.upsample_fused(
+            statics.sdf, params["sdf"], rays_o, rays_d, z_vals,
+            rcfg.n_importance, rcfg.up_sample_steps)
     batch_size = z_vals.shape[0]
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., :, None]
     sdf = _sdf_infer(statics, params, pts.reshape(-1, 3))
