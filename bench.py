@@ -42,45 +42,61 @@ def main():
                                   color=fields.RenderingConfig(),
                                   nerf=fields.NeRFConfig())
     params = fields.init_model_bundle(jax.random.PRNGKey(0), statics)
-    rcfg = RendererConfig()
-    tcfg = steplib.TrainConfig()  # production schedule/shapes (batch 512)
+    tcfg = steplib.resolve_runtime_flags(
+        steplib.TrainConfig())  # production schedule/shapes (batch 512)
+    rcfg = steplib.apply_runtime_flags(RendererConfig(), tcfg)
 
     n_dev = len(jax.devices())
-    if n_dev > 1 and tcfg.batch_size % n_dev == 0:
-        from rnb_tpu.parallel import mesh as meshlib
-        from rnb_tpu.parallel.train import make_sharded_train_step
-        mesh = meshlib.make_ray_mesh()
-        fn = make_sharded_train_step(statics, rcfg, tcfg, warmup=False,
-                                     no_albedo=False, mesh=mesh)
-    else:
-        fn = steplib.make_train_step(statics, rcfg, tcfg, warmup=False,
-                                     no_albedo=False)
 
-    state = steplib.init_train_state(params, tcfg)
+    def make_fn(warmup: bool):
+        if n_dev > 1 and tcfg.batch_size % n_dev == 0:
+            from rnb_tpu.parallel import mesh as meshlib
+            from rnb_tpu.parallel.train import make_sharded_train_step
+            mesh = meshlib.make_ray_mesh()
+            return make_sharded_train_step(statics, rcfg, tcfg, warmup=warmup,
+                                           no_albedo=False, mesh=mesh)
+        return steplib.make_train_step(statics, rcfg, tcfg, warmup=warmup,
+                                       no_albedo=False)
+
     key = jax.random.PRNGKey(1)
-
-    # warm-up/compile. NOTE: time through a concrete value fetch (float()),
-    # not block_until_ready — through this image's remote-TPU tunnel
-    # block_until_ready returns before execution completes, which makes
-    # dispatch-only loops look ~40x faster than reality (verified by linear
-    # wall-time scaling in N only when fetching the value).
-    for i in range(3):
-        state, metrics = fn(state, scene.arrays, i % scene.n_images, key)
-    float(metrics["loss"])
-
     iters = int(os.environ.get("RNB_BENCH_ITERS", "120"))
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = fn(state, scene.arrays, i % scene.n_images, key)
-    assert float(metrics["loss"]) == float(metrics["loss"])  # force fetch
-    dt = time.perf_counter() - t0
 
-    rays_per_s = iters * tcfg.batch_size / dt
+    def measure(warmup: bool) -> float:
+        """rays/s for one phase program. NOTE: time through a concrete value
+        fetch (float()), not block_until_ready — through this image's
+        remote-TPU tunnel block_until_ready returns before execution
+        completes, which makes dispatch-only loops look ~40x faster than
+        reality (verified by linear wall-time scaling in N only when
+        fetching the value)."""
+        fn = make_fn(warmup)
+        # fresh param copies: the step donates its state buffers, so the two
+        # phase measurements must not share array instances
+        import jax.numpy as jnp
+        state = steplib.init_train_state(
+            jax.tree_util.tree_map(jnp.array, params), tcfg)
+        for i in range(3):
+            state, metrics = fn(state, scene.arrays, i % scene.n_images, key)
+        float(metrics["loss"])
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, metrics = fn(state, scene.arrays, i % scene.n_images, key)
+        assert float(metrics["loss"]) == float(metrics["loss"])  # force fetch
+        return iters * tcfg.batch_size / (time.perf_counter() - t0)
+
+    # the main-phase program is the headline metric; the warm-up program is
+    # 2/3 of reference training wall-clock (SURVEY.md §3.4,
+    # /root/reference/exp_runner.py:196-228) so it is reported alongside
+    main_rps = measure(warmup=False)
+    warm_rps = measure(warmup=True)
+
     print(json.dumps({
         "metric": "train_rays_per_s_per_chip",
-        "value": round(rays_per_s / max(n_dev, 1), 1),
+        "value": round(main_rps / max(n_dev, 1), 1),
         "unit": "rays/s/chip (main phase, batch 512, 128 samples, 3 lights)",
-        "vs_baseline": round(rays_per_s / max(n_dev, 1) / REFERENCE_RAYS_PER_S, 3),
+        "vs_baseline": round(main_rps / max(n_dev, 1) / REFERENCE_RAYS_PER_S, 3),
+        "warmup_phase_rays_per_s_per_chip": round(warm_rps / max(n_dev, 1), 1),
+        "flags": steplib.runtime_flags_dict(tcfg),
+        "n_devices": n_dev,
     }))
 
 

@@ -36,6 +36,12 @@ def main(argv=None):
     parser.add_argument("--no_albedo", default=False, action="store_true")
     parser.add_argument("--shard", type=str, default="auto",
                         help="'auto' | 'off' | integer mesh width")
+    parser.add_argument("--set", dest="overrides", action="append", default=[],
+                        metavar="PATH=VALUE",
+                        help="conf override, e.g. --set train.end_iter=1000 "
+                             "--set train.batch_size=2048 (repeatable; "
+                             "replaces the reference jobs' heredoc-templated "
+                             "per-case confs)")
     parser.add_argument("--mesh_resolution", type=int, default=512,
                         help="marching-cubes grid resolution for final/CLI "
                              "extraction (reference uses 512, "
@@ -55,29 +61,34 @@ def main(argv=None):
 
     if args.mode == "train_rnb":
         runner = Runner(args.conf, args.mode, args.case, args.is_continue,
-                        args.no_albedo, shard=shard)
+                        args.no_albedo, shard=shard,
+                        overrides=args.overrides)
         runner.train_rnb()
         runner.validate_mesh(world_space=True, resolution=args.mesh_resolution,
                              threshold=args.mcube_threshold)
     elif args.mode == "validate_mesh":
         runner = Runner(args.conf, args.mode, args.case, True,
-                        args.no_albedo, shard=shard)
+                        args.no_albedo, shard=shard,
+                        overrides=args.overrides)
         runner.validate_mesh(world_space=True, resolution=args.mesh_resolution,
                              threshold=args.mcube_threshold)
     elif args.mode == "validate_mesh_texture":
         runner = Runner(args.conf, args.mode, args.case, True,
-                        args.no_albedo, shard=shard)
+                        args.no_albedo, shard=shard,
+                        overrides=args.overrides)
         runner.validate_mesh_texture(world_space=True,
                                      resolution=args.mesh_resolution,
                                      threshold=args.mcube_threshold)
     elif args.mode == "validate_image_ps":
         runner = Runner(args.conf, args.mode, args.case, True,
-                        args.no_albedo, shard=shard)
+                        args.no_albedo, shard=shard,
+                        overrides=args.overrides)
         runner.validate_image_ps()
     elif args.mode.startswith("interpolate"):
         _, i0, i1 = args.mode.split("_")
         runner = Runner(args.conf, args.mode, args.case, True,
-                        args.no_albedo, shard=shard)
+                        args.no_albedo, shard=shard,
+                        overrides=args.overrides)
         runner.interpolate_view(int(i0), int(i1))
     else:
         raise SystemExit(f"unknown mode {args.mode!r}")

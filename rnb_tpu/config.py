@@ -289,6 +289,17 @@ def parse_string(text: str) -> Config:
     return Config(_Parser(text).parse_object(top_level=True))
 
 
+def apply_override(conf: Config, override: str) -> None:
+    """Apply one ``dotted.path=value`` override in place, with the same value
+    coercion the parser uses (the TPU replacement for the reference jobs'
+    heredoc-templated per-case confs,
+    `/root/reference/jobs/run_job_bearPNG_001.job:20-111`)."""
+    if "=" not in override:
+        raise ValueError(f"override must be 'dotted.path=value', got {override!r}")
+    path, _, raw = override.partition("=")
+    conf[path.strip()] = _coerce(raw)
+
+
 def load_conf(path: str, case: str = "") -> Config:
     """Load a conf file, substituting CASE_NAME like the reference runner
     (`exp_runner.py:28-36`)."""

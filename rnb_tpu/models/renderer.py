@@ -50,12 +50,31 @@ from rnb_tpu.models.fields import ModelStatics
 @dataclasses.dataclass(frozen=True)
 class RendererConfig:
     """Schema of the reference's `model.neus_renderer` conf section
-    (`confs/wmask_rnb.conf:83-89`)."""
+    (`confs/wmask_rnb.conf:83-89`) plus the runtime/precision knobs.
+
+    The runtime knobs (everything below `perturb`) used to be RNB_* env vars;
+    they alter numerics, so they live in the config system where the conf
+    snapshot (`runner.file_backup`) records them — a run's numerics are fully
+    reconstructable from its recording dir. Env vars still act as overrides
+    (resolved once in rnb_tpu.train.step.resolve_runtime_flags).
+
+      upsample_prec   'bf16' | 'f32' — precision of the 5 no-grad up-sampling
+                      SDF sweeps (sample placement only; see
+                      fields.sdf_only_lowp for why bf16 is safe there)
+      remat           rematerialize the field nets in the backward pass
+                      (jax.checkpoint) instead of storing activations
+      use_pallas_mlp  fused Pallas SDF-inference kernel for the no-grad sweeps
+      use_fused_upsample  Pallas megakernel for the whole up-sample loop
+    """
     n_samples: int = 64
     n_importance: int = 64
     n_outside: int = 0
     up_sample_steps: int = 4
     perturb: float = 1.0
+    upsample_prec: str = "bf16"
+    remat: bool = False
+    use_pallas_mlp: bool = False
+    use_fused_upsample: bool = False
 
     @property
     def total_samples(self) -> int:
@@ -142,27 +161,28 @@ def up_sample(rays_o, rays_d, z_vals, sdf, n_importance: int, inv_s: float) -> j
     return jax.lax.stop_gradient(sample_pdf(z_vals, weights, n_importance, det=True))
 
 
-def _sdf_infer(statics: ModelStatics, params, pts_flat: jnp.ndarray):
+def _sdf_infer(statics: ModelStatics, params, pts_flat: jnp.ndarray,
+               prec: str = "bf16", use_pallas: bool = False):
     """No-grad SDF sweep (sample placement only, values never enter the loss).
 
     Default: bf16 matmuls with f32 accumulation (fields.sdf_only_lowp) — on
     TPU this costs 1 MXU pass per dot instead of the 6 of f32-highest, and
     sample-placement accuracy is unaffected (validated by
     tools/validate_precision.py: sphere-mesh error identical to f32).
-    RNB_UPSAMPLE_PREC=f32 restores exact-f32 sweeps; RNB_PALLAS=1 selects the
-    fused Pallas kernel (benchmarked slower than XLA on v5e, kept for study).
+    prec='f32' restores exact-f32 sweeps; use_pallas selects the fused Pallas
+    kernel (conf keys neus_renderer.{upsample_prec,use_pallas_mlp}).
     """
-    import os
     from rnb_tpu.ops import pallas_mlp
-    if pallas_mlp.use_fused(statics.sdf):
+    if use_pallas and pallas_mlp.supported(statics.sdf) \
+            and jax.default_backend() == "tpu":
         return pallas_mlp.sdf_only_fused(statics.sdf, params["sdf"], pts_flat)
-    if os.environ.get("RNB_UPSAMPLE_PREC", "bf16") == "bf16":
+    if prec == "bf16":
         return fields.sdf_only_lowp(statics.sdf, params["sdf"], pts_flat)
     return fields.sdf_only(statics.sdf, params["sdf"], pts_flat)
 
 
 def cat_z_vals(statics: ModelStatics, params, rays_o, rays_d, z_vals, new_z_vals,
-               sdf, last: bool):
+               sdf, last: bool, prec: str = "bf16", use_pallas: bool = False):
     """Merge-sort new z-values in; re-query SDF at them unless final round
     (`renderer.py:178-192`)."""
     batch_size = z_vals.shape[0]
@@ -172,7 +192,7 @@ def cat_z_vals(statics: ModelStatics, params, rays_o, rays_d, z_vals, new_z_vals
     if last:
         return z_sorted, sdf
     pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z_vals[..., :, None]
-    new_sdf = _sdf_infer(statics, params, pts.reshape(-1, 3))
+    new_sdf = _sdf_infer(statics, params, pts.reshape(-1, 3), prec, use_pallas)
     new_sdf = new_sdf.reshape(batch_size, new_z_vals.shape[-1])
     sdf_cat = jnp.concatenate([sdf, new_sdf], axis=-1)
     return z_sorted, jnp.take_along_axis(sdf_cat, order, axis=-1)
@@ -186,20 +206,25 @@ def upsampled_z_vals(statics: ModelStatics, rcfg: RendererConfig, params,
         return z_vals
     params = jax.lax.stop_gradient(params)
     from rnb_tpu.ops import pallas_upsample
-    if pallas_upsample.use_fused(statics.sdf, rcfg.n_importance,
-                                 rcfg.up_sample_steps):
+    if (rcfg.use_fused_upsample or pallas_upsample.env_forced()) \
+            and pallas_upsample.supported(statics.sdf, rcfg.n_importance,
+                                          rcfg.up_sample_steps) \
+            and jax.default_backend() == "tpu":
         return pallas_upsample.upsample_fused(
             statics.sdf, params["sdf"], rays_o, rays_d, z_vals,
             rcfg.n_importance, rcfg.up_sample_steps)
     batch_size = z_vals.shape[0]
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., :, None]
-    sdf = _sdf_infer(statics, params, pts.reshape(-1, 3))
+    sdf = _sdf_infer(statics, params, pts.reshape(-1, 3), rcfg.upsample_prec,
+                     rcfg.use_pallas_mlp)
     sdf = sdf.reshape(batch_size, rcfg.n_samples)
     per_round = rcfg.n_importance // rcfg.up_sample_steps
     for i in range(rcfg.up_sample_steps):
         new_z = up_sample(rays_o, rays_d, z_vals, sdf, per_round, 64 * 2 ** i)
         z_vals, sdf = cat_z_vals(statics, params, rays_o, rays_d, z_vals, new_z,
-                                 sdf, last=(i + 1 == rcfg.up_sample_steps))
+                                 sdf, last=(i + 1 == rcfg.up_sample_steps),
+                                 prec=rcfg.upsample_prec,
+                                 use_pallas=rcfg.use_pallas_mlp)
     return jax.lax.stop_gradient(z_vals)
 
 
@@ -239,7 +264,8 @@ def render_core_outside(statics: ModelStatics, rcfg: RendererConfig, params,
 def render_core_mvps(statics: ModelStatics, params, rays_o, rays_d, z_vals,
                      sample_dist, cos_anneal_ratio,
                      background_alpha=None, background_sampled_color=None,
-                     need_albedo: bool = True) -> Dict[str, jnp.ndarray]:
+                     need_albedo: bool = True,
+                     remat: bool = False) -> Dict[str, jnp.ndarray]:
     """The hot training integrator (`renderer.py:466-554`). Returns per-sample
     albedo and normals for downstream light compositing."""
     batch_size, n_samples = z_vals.shape
@@ -253,13 +279,11 @@ def render_core_mvps(statics: ModelStatics, params, rays_o, rays_d, z_vals,
     pts_flat = pts.reshape(-1, 3)
     dirs_flat = dirs.reshape(-1, 3)
 
-    # RNB_REMAT=1: rematerialize the field networks in the backward pass
+    # remat=True: rematerialize the field networks in the backward pass
     # instead of storing their activations — the step is HBM-bandwidth-bound
     # (~25 GB/step at batch 512 under plain XLA), so trading recompute FLOPs
-    # for activation traffic can win. Off by default pending benchmarks.
-    import os as _os
-    remat = _os.environ.get("RNB_REMAT", "0") == "1"
-
+    # for activation traffic can win (conf key neus_renderer.remat,
+    # RNB_REMAT env override).
     def _svfg(p, x):
         return fields.sdf_value_feat_grad(statics.sdf, p, x)
 
@@ -402,7 +426,7 @@ def render_rnb(statics: ModelStatics, rcfg: RendererConfig, params,
                            cos_anneal_ratio,
                            background_alpha=background_alpha,
                            background_sampled_color=background_sampled_color,
-                           need_albedo=not no_albedo)
+                           need_albedo=not no_albedo, remat=rcfg.remat)
 
     albedo = ret["sampled_albedo"]
     if no_albedo:
@@ -460,7 +484,8 @@ def render(statics: ModelStatics, rcfg: RendererConfig, params,
 
     # integrate radiance with optional background mixing (`renderer.py:245-267`)
     core = render_core_mvps(statics, params, rays_o, rays_d, z_vals, sample_dist,
-                            cos_anneal_ratio, need_albedo=True)
+                            cos_anneal_ratio, need_albedo=True,
+                            remat=rcfg.remat)
     sampled_color = core["sampled_albedo"][..., :3]
     inside_sphere = core["inside_sphere"]
 
@@ -511,14 +536,20 @@ def make_grid_points(bound_min, bound_max, resolution: int) -> jnp.ndarray:
     return jnp.stack([xx, yy, zz], axis=-1)
 
 
-@partial(jax.jit, static_argnums=(0, 3))
-def _query_chunk(sdf_cfg, sdf_params, pts, negate: bool):
+def sdf_grid_query(sdf_cfg, sdf_params, pts, negate: bool = True):
+    """THE SDF-inference path for grid extraction — shared by the
+    single-device chunked loop below and the sharded parallel.grid path, so
+    one place decides the kernel/precision policy (f32 sliced head via
+    fields.sdf_only; Pallas when RNB_PALLAS=1 on TPU)."""
     from rnb_tpu.ops import pallas_mlp
     if pallas_mlp.use_fused(sdf_cfg):
         v = pallas_mlp.sdf_only_fused(sdf_cfg, sdf_params, pts)
     else:
         v = fields.sdf_only(sdf_cfg, sdf_params, pts)
     return -v if negate else v
+
+
+_query_chunk = partial(jax.jit, static_argnums=(0, 3))(sdf_grid_query)
 
 
 def extract_fields(statics: ModelStatics, params, bound_min, bound_max,

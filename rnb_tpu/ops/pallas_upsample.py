@@ -285,8 +285,9 @@ def supported(cfg: SDFConfig, n_importance: int, up_sample_steps: int) -> bool:
             and n_importance > 0 and n_importance % up_sample_steps == 0)
 
 
-def use_fused(cfg: SDFConfig, n_importance: int, up_sample_steps: int) -> bool:
-    """Opt-in via RNB_FUSED_UPSAMPLE=1.
+def env_forced() -> bool:
+    """RNB_FUSED_UPSAMPLE=1 force-enables the kernel regardless of conf
+    (the conf key is model.neus_renderer.use_fused_upsample).
 
     Measured on v5e (batch 512, 64+64 samples): 6.2 ms/step vs 7.9 ms for the
     XLA loop at bf16 — a real but modest win that costs ~8 minutes of Mosaic
@@ -295,9 +296,11 @@ def use_fused(cfg: SDFConfig, n_importance: int, up_sample_steps: int) -> bool:
     tamed; the XLA loop with bf16 sweeps (fields.sdf_only_lowp) is the
     production path."""
     import os
-    if os.environ.get("RNB_FUSED_UPSAMPLE", "0") != "1":
-        return False
-    return (supported(cfg, n_importance, up_sample_steps)
+    return os.environ.get("RNB_FUSED_UPSAMPLE", "0") == "1"
+
+
+def use_fused(cfg: SDFConfig, n_importance: int, up_sample_steps: int) -> bool:
+    return (env_forced() and supported(cfg, n_importance, up_sample_steps)
             and jax.default_backend() == "tpu")
 
 

@@ -15,8 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from rnb_tpu.models import fields
 from rnb_tpu.models.fields import ModelStatics
+from rnb_tpu.models.renderer import sdf_grid_query
 
 
 def extract_fields_sharded(statics: ModelStatics, params, bound_min, bound_max,
@@ -34,8 +34,10 @@ def extract_fields_sharded(statics: ModelStatics, params, bound_min, bound_max,
 
     @partial(jax.jit, static_argnums=(0,), out_shardings=shard)
     def eval_chunk(sdf_cfg, sdf_params, pts):
-        v = fields.sdf_apply(sdf_cfg, sdf_params, pts)[..., 0]
-        return -v if negate else v
+        # same kernel/precision policy as the single-device extraction
+        # (renderer.sdf_grid_query: sliced sdf head, not the 257-wide
+        # feature output — ~12% less matmul per sweep)
+        return sdf_grid_query(sdf_cfg, sdf_params, pts, negate)
 
     params_repl = jax.device_put(params["sdf"], repl)
 

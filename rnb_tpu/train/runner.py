@@ -44,9 +44,15 @@ class Runner:
     def __init__(self, conf_path: str, mode: str = "train_rnb", case: str = "",
                  is_continue: bool = False, no_albedo: bool = False,
                  shard: str = "auto", dataset_override: ds.Dataset | None = None,
-                 seed: int = 0):
+                 seed: int = 0, overrides: list[str] | None = None):
         self.conf_path = conf_path
         self.conf = cfglib.load_conf(conf_path, case)
+        # per-case conf overrides ("train.end_iter=1000"), replacing the
+        # reference's heredoc-regenerated per-job confs
+        # (`/root/reference/jobs/run_job_bearPNG_001.job:20-111`)
+        self.overrides = list(overrides or [])
+        for ov in self.overrides:
+            cfglib.apply_override(self.conf, ov)
         self.mode = mode
         self.base_exp_dir = self.conf.get_string("general.base_exp_dir")
         os.makedirs(self.base_exp_dir, exist_ok=True)
@@ -58,7 +64,8 @@ class Runner:
         self.no_albedo = self.dataset.no_albedo
 
         self.tcfg = steplib.train_conf(self.conf)
-        self.rcfg = rnd.renderer_conf(self.conf["model"])
+        self.rcfg = steplib.apply_runtime_flags(
+            rnd.renderer_conf(self.conf["model"]), self.tcfg)
         self.statics = fields.statics_from_conf(self.conf["model"])
 
         params = fields.init_model_bundle(jax.random.PRNGKey(seed), self.statics)
@@ -78,6 +85,11 @@ class Runner:
         self._step_fns = {}
         self._chunk_render_fns = {}
         self.writer: ScalarLogger | None = None
+        self._host_step: int | None = None  # host-side iter counter (avoids
+        # a device sync per loop iteration; see train_rnb)
+        self._snap_candidate = None  # (step, host state) awaiting confirmation
+        self._snap_good = None       # newest snapshot all of whose metrics
+        #                              were confirmed finite (NaN-guard dump)
 
         if is_continue:
             latest = ckptlib.latest_checkpoint(
@@ -94,6 +106,12 @@ class Runner:
 
     @property
     def iter_step(self) -> int:
+        # int(state.step) blocks on the just-dispatched device step; inside
+        # the training loop we track the count host-side so the dispatch
+        # pipeline stays full (the two are kept equal by construction: the
+        # step fn increments by exactly 1)
+        if self._host_step is not None:
+            return self._host_step
         return int(self.state.step)
 
     def get_cos_anneal_ratio(self) -> float:
@@ -117,20 +135,29 @@ class Runner:
 
     # -- training -------------------------------------------------------------
 
+    # metric fetches (and therefore NaN detection) trail the live step by up
+    # to LAG steps — see the pipeline note in train_rnb
+    LAG = 16
+
     def train_rnb(self):
         """The training loop (`exp_runner.py:156-306`)."""
         from collections import deque
         self.writer = ScalarLogger(os.path.join(self.base_exp_dir, "logs"))
-        res_step = self.tcfg.end_iter - self.iter_step
+        self.writer.meta({"conf": self.conf_path, "overrides": self.overrides,
+                          "flags": steplib.runtime_flags_dict(self.tcfg),
+                          "jax_backend": jax.default_backend()})
+        it = int(self.state.step)   # one device sync; host-side from here on
+        self._host_step = it
         image_perm = self._host_rng.permutation(self.dataset.n_images)
         t_report = time.time()
         rays_done = 0
         # Deferred metric fetch: converting a metric to float blocks the host
         # until that step's program finishes, which collapses the dispatch
         # pipeline. We queue metric pytrees and only materialize them once
-        # they are LAG steps old (already computed => the fetch is free). The
-        # NaN fail-fast consequently lags LAG steps behind the live step.
-        LAG = 16
+        # they are LAG steps old (already computed => the fetch is free).
+        # Every step is queued and logged (reference cadence,
+        # `exp_runner.py:269-274`); the NaN fail-fast consequently inspects
+        # every step but lags up to LAG steps behind the live one.
         pending: deque = deque()
 
         # tracing/profiling (SURVEY.md §5: the reference has none; we expose
@@ -140,63 +167,85 @@ class Runner:
         prof_steps = int(os.environ.get("RNB_PROFILE_STEPS", "20"))
         prof_active = False
 
-        for _ in range(res_step):
-            it = self.iter_step
-            warmup = it < self.tcfg.warm_up_iter
-            view = int(image_perm[it % len(image_perm)])
-            if prof_dir and it == prof_start:
-                jax.profiler.start_trace(prof_dir)
-                prof_active = True
-            fn = self._get_step_fn(warmup)
-            self.state, metrics = fn(self.state, self.dataset.arrays, view,
-                                     self.base_key)
-            if prof_active and it >= prof_start + prof_steps - 1:
-                jax.block_until_ready(self.state.params)
-                jax.profiler.stop_trace()
-                prof_active = False
-                logger.info("profiler trace written to %s", prof_dir)
-            it = self.iter_step  # post-increment
-            rays_done += self.tcfg.batch_size
+        try:
+            while it < self.tcfg.end_iter:
+                warmup = it < self.tcfg.warm_up_iter
+                view = int(image_perm[it % len(image_perm)])
+                if prof_dir and it == prof_start:
+                    jax.profiler.start_trace(prof_dir)
+                    prof_active = True
+                fn = self._get_step_fn(warmup)
+                self.state, metrics = fn(self.state, self.dataset.arrays, view,
+                                         self.base_key)
+                if prof_active and it >= prof_start + prof_steps - 1:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
+                    prof_active = False
+                    logger.info("profiler trace written to %s", prof_dir)
+                it += 1
+                self._host_step = it
+                rays_done += self.tcfg.batch_size
 
-            if it % 10 == 0 or it % self.tcfg.report_freq == 0:
-                pending.append((it, metrics))
-            while pending and (self.iter_step - pending[0][0] >= LAG
-                               or len(pending) > 4 * LAG):
+                rps = None
+                if it % self.tcfg.report_freq == 0:
+                    dt = time.time() - t_report
+                    rps = rays_done / max(dt, 1e-9)
+                    t_report, rays_done = time.time(), 0
+                pending.append((it, metrics, rps))
+                while pending and (it - pending[0][0] >= self.LAG
+                                   or len(pending) > 4 * self.LAG):
+                    self._consume_metrics(*pending.popleft())
+
+                if it % self.tcfg.save_freq == 0:
+                    self.save_checkpoint()
+                if it % self.tcfg.val_freq == 0:
+                    self.validate_image()
+                if it % self.tcfg.val_mesh_freq == 0:
+                    self.validate_mesh()
+                if it % self.dataset.n_images == 0:
+                    image_perm = self._host_rng.permutation(
+                        self.dataset.n_images)
+
+            while pending:
                 self._consume_metrics(*pending.popleft())
+        finally:
+            self.writer.close()
 
-            if it % self.tcfg.report_freq == 0:
-                dt = time.time() - t_report
-                rps = rays_done / max(dt, 1e-9)
-                t_report, rays_done = time.time(), 0
-                self._report_rps = rps
-                self.writer.log(it, {"Perf/rays_per_s": rps})
-
-            if it % self.tcfg.save_freq == 0:
-                self.save_checkpoint()
-            if it % self.tcfg.val_freq == 0:
-                self.validate_image()
-            if it % self.tcfg.val_mesh_freq == 0:
-                self.validate_mesh()
-            if it % self.dataset.n_images == 0:
-                image_perm = self._host_rng.permutation(self.dataset.n_images)
-
-        while pending:
-            self._consume_metrics(*pending.popleft())
-
-    def _consume_metrics(self, it: int, metrics):
+    def _consume_metrics(self, it: int, metrics, rps=None):
         """Materialize and log one step's metrics (runs LAG steps behind)."""
         m = {k: float(v) for k, v in metrics.items()}
-        # NaN guard (SURVEY.md §5 sanitizers): fail fast with a diagnostic
-        # checkpoint instead of training on garbage
+        # NaN guard (SURVEY.md §5 sanitizers): fail fast instead of training
+        # on garbage. Detection trails the live step by <= LAG steps, so the
+        # live state has been updated through up to LAG non-finite gradient
+        # steps; we dump it for diagnosis AND keep a periodically-refreshed
+        # snapshot whose metrics were all confirmed finite for restarts.
         if not np.isfinite(m["loss"]):
-            path = ckptlib.checkpoint_path(
-                os.path.join(self.base_exp_dir, "checkpoints"), it,
-                prefix="nan_dump_")
+            ckpt_dir = os.path.join(self.base_exp_dir, "checkpoints")
+            path = ckptlib.checkpoint_path(ckpt_dir, it, prefix="nan_dump_")
             ckptlib.save_checkpoint(path, self.state)
+            good_msg = "no confirmed-good snapshot yet"
+            if self._snap_good is not None:
+                good_it, good_state = self._snap_good
+                good_path = ckptlib.checkpoint_path(ckpt_dir, good_it,
+                                                    prefix="last_good_")
+                ckptlib.save_checkpoint(good_path, good_state)
+                good_msg = (f"last confirmed-finite state (iter {good_it}) "
+                            f"saved to {good_path}")
             raise FloatingPointError(
-                f"non-finite loss at iter {it}: {m} "
-                f"(state dumped to {path}; rerun with "
-                f"RNB_DEBUG_NANS=1 to locate the op)")
+                f"non-finite loss at iter {it}: {m}. NOTE the dump at {path} "
+                f"is the LIVE state (iter {self.iter_step}, i.e. up to "
+                f"{self.LAG} steps PAST the NaN) — diagnostic only; "
+                f"{good_msg}. Rerun with RNB_DEBUG_NANS=1 to locate the op.")
+        # promote the candidate snapshot once a metric at/after its step is
+        # confirmed finite; refresh the candidate periodically (device->host
+        # copy of ~1M params, amortized over report_freq steps)
+        if (self._snap_candidate is not None
+                and it >= self._snap_candidate[0]):
+            self._snap_good = self._snap_candidate
+            self._snap_candidate = None
+        if self._snap_candidate is None and it % self.tcfg.report_freq == 0:
+            self._snap_candidate = (self.iter_step,
+                                    jax.device_get(self.state))
         self.writer.log(it, {
             "Loss/loss": m["loss"],
             "Loss/color_loss": m["color_loss"],
@@ -208,8 +257,8 @@ class Runner:
             "Statistics/psnr": m["psnr"],
             "lr": m["lr"],
         })
-        if it % self.tcfg.report_freq == 0:
-            rps = getattr(self, "_report_rps", 0.0)
+        if rps is not None:
+            self.writer.log(it, {"Perf/rays_per_s": rps})
             print(f"iter:{it:8d} loss={m['loss']:.5f} "
                   f"color={m['color_loss']:.5f} "
                   f"eik={m['eikonal_loss'] * self.tcfg.igr_weight:.5f} "
@@ -225,6 +274,7 @@ class Runner:
 
     def load_checkpoint(self, path: str):
         self.state = ckptlib.load_checkpoint(path, self.state)
+        self._host_step = None  # re-sync the host counter from the new state
         logger.info("End")
 
     def file_backup(self):
@@ -243,6 +293,13 @@ class Runner:
                     if os.path.isfile(src):
                         shutil.copyfile(src, os.path.join(cur_dir, f_name))
         shutil.copyfile(self.conf_path, os.path.join(rec_dir, "config.conf"))
+        # record everything that alters numerics beyond the conf file itself
+        # (resolved runtime flags + CLI overrides) — a run's numerics are
+        # fully reconstructable from the recording dir
+        import json
+        with open(os.path.join(rec_dir, "flags.json"), "w") as f:
+            json.dump({"flags": steplib.runtime_flags_dict(self.tcfg),
+                       "overrides": self.overrides}, f, indent=1)
 
     # -- validation: images ---------------------------------------------------
 

@@ -24,6 +24,13 @@ class ScalarLogger:
             except Exception:
                 self._tb = None
 
+    def meta(self, record: dict) -> None:
+        """Write a non-scalar header record (resolved runtime flags etc.) so
+        the JSONL stream is self-describing."""
+        self._jsonl.write(json.dumps({"meta": record, "time": time.time()})
+                          + "\n")
+        self._jsonl.flush()
+
     def log(self, step: int, scalars: Dict[str, float]) -> None:
         rec = {"step": int(step), "time": time.time()}
         rec.update({k: float(v) for k, v in scalars.items()})

@@ -39,11 +39,12 @@ def main():
     statics = fields.ModelStatics(sdf=fields.SDFConfig(),
                                   color=fields.RenderingConfig(),
                                   nerf=fields.NeRFConfig())
-    tcfg = train_step.TrainConfig(end_iter=steps, warm_up_end=50,
-                                  batch_size=512)
+    tcfg = train_step.resolve_runtime_flags(
+        train_step.TrainConfig(end_iter=steps, warm_up_end=50, batch_size=512))
+    rcfg = train_step.apply_runtime_flags(RendererConfig(), tcfg)
     state = train_step.init_train_state(
         fields.init_model_bundle(jax.random.PRNGKey(0), statics), tcfg)
-    fn = train_step.make_train_step(statics, RendererConfig(), tcfg,
+    fn = train_step.make_train_step(statics, rcfg, tcfg,
                                     warmup=True, no_albedo=False)
     key = jax.random.PRNGKey(42)
     first_loss = None
@@ -61,9 +62,13 @@ def main():
                                    [1.01] * 3, 96)
     v, t = mc.extract_geometry(grid, [-1.01] * 3, [1.01] * 3, 0.0)
     r = np.linalg.norm(v, axis=-1)
+    # report the EFFECTIVE settings (resolved conf+env), not raw env reads —
+    # a run with no env set is labeled with the real package defaults
+    flags = train_step.runtime_flags_dict(tcfg)
     print(json.dumps({
-        "matmul_precision": os.environ.get("RNB_MATMUL_PRECISION", "highest"),
-        "upsample_prec": os.environ.get("RNB_UPSAMPLE_PREC", "bf16"),
+        "matmul_precision": flags["matmul_precision"],
+        "upsample_prec": flags["upsample_precision"],
+        "remat": flags["remat"],
         "steps": steps,
         "first_loss": round(first_loss, 4),
         "last_loss": round(last_loss, 4),
