@@ -229,6 +229,64 @@ def sdf_value_feat_grad(cfg: SDFConfig, params, pts: jnp.ndarray):
     return out[..., 0], out[..., 1:], grad
 
 
+def sdf_value_feat_grad_fwd(cfg: SDFConfig, params, pts: jnp.ndarray):
+    """Same outputs as sdf_value_feat_grad, restructured so ∇SDF comes from
+    FORWARD-mode tangents carried as a [N, 3, C] tensor alongside the primal
+    chain (one extra batched dot per layer instead of a reverse sweep).
+
+    Why this exists: with the vjp formulation the eikonal term makes the
+    training loss second-order in the SDF params — XLA differentiates a
+    vjp-of-vjp program whose intermediates round-trip HBM (~24 GB/step at
+    batch 512, the measured step bottleneck). Here the gradient is a *primal*
+    output of a plain feed-forward chain, so the loss is FIRST-order in it:
+    XLA's single reverse pass stores/reads far fewer intermediates. Numerics:
+    identical math in the same f32/matmul-precision regime (tested to ~1e-6
+    against the vjp path, tests/test_fields.py).
+    """
+    N = pts.shape[0]
+    u = pts * cfg.scale
+    # e = PE(u) [N, in]; T = de/du [N, 3, in] (dense; nonzeros sit in the
+    # channel block of their own coordinate)
+    e_parts = [u]
+    t_parts = [jnp.broadcast_to(jnp.eye(3, dtype=pts.dtype), (N, 3, 3))]
+    eye = jnp.eye(3, dtype=pts.dtype)
+    for k in range(cfg.multires):
+        f = 2.0 ** k
+        s, c = jnp.sin(u * f), jnp.cos(u * f)
+        e_parts += [s, c]
+        # d sin(f u_j)/d u_d = f cos(f u_j) δ_jd  -> [N,3(dir),3(chan)]
+        t_parts += [f * c[:, None, :] * eye[None],
+                    -f * s[:, None, :] * eye[None]]
+    e = jnp.concatenate(e_parts, axis=-1)          # [N, in]
+    T = jnp.concatenate(t_parts, axis=-1)          # [N, 3, in]
+
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    h, Th = e, T
+    for l, layer in enumerate(params):
+        if l in cfg.skip_in:
+            h = jnp.concatenate([h, e], axis=-1) * inv_sqrt2
+            Th = jnp.concatenate([Th, T], axis=-1) * inv_sqrt2
+        if "v" in layer:
+            v = layer["v"]
+            norm = jnp.linalg.norm(v, axis=0, keepdims=True)
+            w = v * (layer["g"][None, :] / jnp.maximum(norm, 1e-12))
+        else:
+            w = layer["w"]
+        z = jnp.dot(h, w, preferred_element_type=jnp.float32) + layer["b"]
+        Tz = jnp.einsum("ndi,io->ndo", Th, w,
+                        preferred_element_type=jnp.float32)
+        if l < len(params) - 1:
+            s = jax.nn.sigmoid(z * 100.0)
+            h = jax.nn.softplus(z * 100.0) / 100.0
+            Th = Tz * s[:, None, :]
+        else:
+            sdf = z[:, 0] / cfg.scale
+            feat = z[:, 1:]
+            # d sdf/d x: the 1/scale and the PE input scale cancel
+            grad = Tz[:, :, 0]
+    return sdf, feat, grad
+
+
 # ---------------------------------------------------------------------------
 # Rendering (albedo) network
 # ---------------------------------------------------------------------------

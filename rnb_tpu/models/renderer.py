@@ -63,8 +63,12 @@ class RendererConfig:
                       fields.sdf_only_lowp for why bf16 is safe there)
       remat           rematerialize the field nets in the backward pass
                       (jax.checkpoint) instead of storing activations
-      use_pallas_mlp  fused Pallas SDF-inference kernel for the no-grad sweeps
-      use_fused_upsample  Pallas megakernel for the whole up-sample loop
+      core_impl       differentiable-core implementation: 'pallas' (fused
+                      VMEM kernel with hand-derived VJP, ops/pallas_sdf_core
+                      — the production default; falls back to 'vjp' off-TPU),
+                      'vjp' (batched reverse-mode like the reference), or
+                      'fwdmode' (forward-mode tangents make ∇SDF a primal
+                      output; kept for study — measured slower under XLA)
     """
     n_samples: int = 64
     n_importance: int = 64
@@ -73,8 +77,7 @@ class RendererConfig:
     perturb: float = 1.0
     upsample_prec: str = "bf16"
     remat: bool = False
-    use_pallas_mlp: bool = False
-    use_fused_upsample: bool = False
+    core_impl: str = "pallas"
 
     @property
     def total_samples(self) -> int:
@@ -94,7 +97,13 @@ def renderer_conf(conf_model) -> RendererConfig:
 def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
                det: bool = True, key=None) -> jnp.ndarray:
     """Inverse-CDF sampling (`renderer.py:39-69`). bins [B,N], weights [B,N-1]
-    -> samples [B,n_samples]. det=True uses midpoint stratification."""
+    -> samples [B,n_samples]. det=True uses midpoint stratification.
+
+    TPU note: the inverse CDF is a comparison-count (insertion index =
+    #{cdf <= u}) and the 4 index gathers are one one-hot contraction —
+    dense VPU/MXU work over [B, N, n_samples]. jnp.searchsorted +
+    take_along_axis lower to per-element loops/gathers that dominated the
+    whole train step (~7 ms of a 24 ms step measured on v5e)."""
     weights = weights + 1e-5
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)
@@ -107,14 +116,22 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
         assert key is not None
         u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    N = cdf.shape[-1]
+    # searchsorted(cdf, u, side='right') == count of cdf entries <= u
+    inds = jnp.sum((cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32),
+                   axis=-1)                                   # [B, n_samples]
     below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+    above = jnp.minimum(inds, N - 1)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    # gather cdf/bins at below/above via one-hot contractions (exact: one
+    # nonzero per row)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_samples, N), 2)
+    oh_b = (iota == below[:, :, None]).astype(cdf.dtype)      # [B, S, N]
+    oh_a = (iota == above[:, :, None]).astype(cdf.dtype)
+    cdf_below = jnp.einsum("bsn,bn->bs", oh_b, cdf)
+    cdf_above = jnp.einsum("bsn,bn->bs", oh_a, cdf)
+    bins_below = jnp.einsum("bsn,bn->bs", oh_b, bins)
+    bins_above = jnp.einsum("bsn,bn->bs", oh_a, bins)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, 1.0, denom)
@@ -162,40 +179,69 @@ def up_sample(rays_o, rays_d, z_vals, sdf, n_importance: int, inv_s: float) -> j
 
 
 def _sdf_infer(statics: ModelStatics, params, pts_flat: jnp.ndarray,
-               prec: str = "bf16", use_pallas: bool = False):
+               prec: str = "bf16"):
     """No-grad SDF sweep (sample placement only, values never enter the loss).
 
     Default: bf16 matmuls with f32 accumulation (fields.sdf_only_lowp) — on
     TPU this costs 1 MXU pass per dot instead of the 6 of f32-highest, and
     sample-placement accuracy is unaffected (validated by
     tools/validate_precision.py: sphere-mesh error identical to f32).
-    prec='f32' restores exact-f32 sweeps; use_pallas selects the fused Pallas
-    kernel (conf keys neus_renderer.{upsample_prec,use_pallas_mlp}).
+    prec='f32' restores exact-f32 sweeps (conf key
+    neus_renderer.upsample_prec).
     """
-    from rnb_tpu.ops import pallas_mlp
-    if use_pallas and pallas_mlp.supported(statics.sdf) \
-            and jax.default_backend() == "tpu":
-        return pallas_mlp.sdf_only_fused(statics.sdf, params["sdf"], pts_flat)
     if prec == "bf16":
         return fields.sdf_only_lowp(statics.sdf, params["sdf"], pts_flat)
     return fields.sdf_only(statics.sdf, params["sdf"], pts_flat)
 
 
+def _merge_sorted(z: jnp.ndarray, new: jnp.ndarray, *vals):
+    """Merge two per-row SORTED lists (z [B,W1], new [B,W2]) without sorting:
+    ranks are index + cross-count, the permutation is applied as a one-hot
+    contraction. Tie-break matches stable argsort of concat([z, new])
+    (z entries first). Extra `vals` pairs (v_z [B,W1], v_new [B,W2]) are
+    carried through the same permutation.
+
+    TPU note: argsort + take_along_axis on [B,128] lowered to serial
+    sorts/gathers that cost several ms per train step; this is dense
+    comparison + MXU work."""
+    B, W1 = z.shape
+    W2 = new.shape[-1]
+    W = W1 + W2
+    rank_z = (jax.lax.broadcasted_iota(jnp.int32, (B, W1), 1)
+              + jnp.sum((new[:, None, :] < z[:, :, None]).astype(jnp.int32),
+                        axis=-1))
+    rank_new = (jax.lax.broadcasted_iota(jnp.int32, (B, W2), 1)
+                + jnp.sum((z[:, None, :] <= new[:, :, None]).astype(jnp.int32),
+                          axis=-1))
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    oh_z = (iota_w == rank_z[:, :, None]).astype(z.dtype)     # [B, W1, W]
+    oh_new = (iota_w == rank_new[:, :, None]).astype(z.dtype)  # [B, W2, W]
+
+    def scatter(v_z, v_new):
+        return (jnp.einsum("biw,bi->bw", oh_z, v_z)
+                + jnp.einsum("bjw,bj->bw", oh_new, v_new))
+
+    out = [scatter(z, new)]
+    for v_z, v_new in vals:
+        out.append(scatter(v_z, v_new))
+    return out
+
+
 def cat_z_vals(statics: ModelStatics, params, rays_o, rays_d, z_vals, new_z_vals,
-               sdf, last: bool, prec: str = "bf16", use_pallas: bool = False):
-    """Merge-sort new z-values in; re-query SDF at them unless final round
-    (`renderer.py:178-192`)."""
+               sdf, last: bool, prec: str = "bf16"):
+    """Merge new z-values in; re-query SDF at them unless final round
+    (`renderer.py:178-192`). Both inputs are per-row sorted (z_vals by
+    construction, new_z_vals because the inverse CDF of an increasing u grid
+    is non-decreasing), so the merge is rank-based (see _merge_sorted)."""
     batch_size = z_vals.shape[0]
-    z_cat = jnp.concatenate([z_vals, new_z_vals], axis=-1)
-    order = jnp.argsort(z_cat, axis=-1)
-    z_sorted = jnp.take_along_axis(z_cat, order, axis=-1)
     if last:
+        (z_sorted,) = _merge_sorted(z_vals, new_z_vals)
         return z_sorted, sdf
     pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z_vals[..., :, None]
-    new_sdf = _sdf_infer(statics, params, pts.reshape(-1, 3), prec, use_pallas)
+    new_sdf = _sdf_infer(statics, params, pts.reshape(-1, 3), prec)
     new_sdf = new_sdf.reshape(batch_size, new_z_vals.shape[-1])
-    sdf_cat = jnp.concatenate([sdf, new_sdf], axis=-1)
-    return z_sorted, jnp.take_along_axis(sdf_cat, order, axis=-1)
+    z_sorted, sdf_sorted = _merge_sorted(z_vals, new_z_vals, (sdf, new_sdf))
+    return z_sorted, sdf_sorted
 
 
 def upsampled_z_vals(statics: ModelStatics, rcfg: RendererConfig, params,
@@ -205,26 +251,16 @@ def upsampled_z_vals(statics: ModelStatics, rcfg: RendererConfig, params,
     if rcfg.n_importance <= 0:
         return z_vals
     params = jax.lax.stop_gradient(params)
-    from rnb_tpu.ops import pallas_upsample
-    if (rcfg.use_fused_upsample or pallas_upsample.env_forced()) \
-            and pallas_upsample.supported(statics.sdf, rcfg.n_importance,
-                                          rcfg.up_sample_steps) \
-            and jax.default_backend() == "tpu":
-        return pallas_upsample.upsample_fused(
-            statics.sdf, params["sdf"], rays_o, rays_d, z_vals,
-            rcfg.n_importance, rcfg.up_sample_steps)
     batch_size = z_vals.shape[0]
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., :, None]
-    sdf = _sdf_infer(statics, params, pts.reshape(-1, 3), rcfg.upsample_prec,
-                     rcfg.use_pallas_mlp)
+    sdf = _sdf_infer(statics, params, pts.reshape(-1, 3), rcfg.upsample_prec)
     sdf = sdf.reshape(batch_size, rcfg.n_samples)
     per_round = rcfg.n_importance // rcfg.up_sample_steps
     for i in range(rcfg.up_sample_steps):
         new_z = up_sample(rays_o, rays_d, z_vals, sdf, per_round, 64 * 2 ** i)
         z_vals, sdf = cat_z_vals(statics, params, rays_o, rays_d, z_vals, new_z,
                                  sdf, last=(i + 1 == rcfg.up_sample_steps),
-                                 prec=rcfg.upsample_prec,
-                                 use_pallas=rcfg.use_pallas_mlp)
+                                 prec=rcfg.upsample_prec)
     return jax.lax.stop_gradient(z_vals)
 
 
@@ -265,7 +301,8 @@ def render_core_mvps(statics: ModelStatics, params, rays_o, rays_d, z_vals,
                      sample_dist, cos_anneal_ratio,
                      background_alpha=None, background_sampled_color=None,
                      need_albedo: bool = True,
-                     remat: bool = False) -> Dict[str, jnp.ndarray]:
+                     remat: bool = False,
+                     core_impl: str = "vjp") -> Dict[str, jnp.ndarray]:
     """The hot training integrator (`renderer.py:466-554`). Returns per-sample
     albedo and normals for downstream light compositing."""
     batch_size, n_samples = z_vals.shape
@@ -284,8 +321,17 @@ def render_core_mvps(statics: ModelStatics, params, rays_o, rays_d, z_vals,
     # (~25 GB/step at batch 512 under plain XLA), so trading recompute FLOPs
     # for activation traffic can win (conf key neus_renderer.remat,
     # RNB_REMAT env override).
-    def _svfg(p, x):
-        return fields.sdf_value_feat_grad(statics.sdf, p, x)
+    from rnb_tpu.ops import pallas_sdf_core
+    if (core_impl == "pallas" and pallas_sdf_core.supported(statics.sdf)
+            and jax.default_backend() == "tpu"):
+        def _svfg(p, x):
+            return pallas_sdf_core.sdf_value_feat_grad_fused(statics.sdf, p, x)
+    elif core_impl == "fwdmode":
+        def _svfg(p, x):
+            return fields.sdf_value_feat_grad_fwd(statics.sdf, p, x)
+    else:
+        def _svfg(p, x):
+            return fields.sdf_value_feat_grad(statics.sdf, p, x)
 
     def _color(p, x, g, d, f):
         return fields.rendering_apply(statics.color, p, x, g, d, f)
@@ -426,7 +472,8 @@ def render_rnb(statics: ModelStatics, rcfg: RendererConfig, params,
                            cos_anneal_ratio,
                            background_alpha=background_alpha,
                            background_sampled_color=background_sampled_color,
-                           need_albedo=not no_albedo, remat=rcfg.remat)
+                           need_albedo=not no_albedo, remat=rcfg.remat,
+                           core_impl=rcfg.core_impl)
 
     albedo = ret["sampled_albedo"]
     if no_albedo:
@@ -485,7 +532,7 @@ def render(statics: ModelStatics, rcfg: RendererConfig, params,
     # integrate radiance with optional background mixing (`renderer.py:245-267`)
     core = render_core_mvps(statics, params, rays_o, rays_d, z_vals, sample_dist,
                             cos_anneal_ratio, need_albedo=True,
-                            remat=rcfg.remat)
+                            remat=rcfg.remat, core_impl=rcfg.core_impl)
     sampled_color = core["sampled_albedo"][..., :3]
     inside_sphere = core["inside_sphere"]
 
@@ -540,12 +587,8 @@ def sdf_grid_query(sdf_cfg, sdf_params, pts, negate: bool = True):
     """THE SDF-inference path for grid extraction — shared by the
     single-device chunked loop below and the sharded parallel.grid path, so
     one place decides the kernel/precision policy (f32 sliced head via
-    fields.sdf_only; Pallas when RNB_PALLAS=1 on TPU)."""
-    from rnb_tpu.ops import pallas_mlp
-    if pallas_mlp.use_fused(sdf_cfg):
-        v = pallas_mlp.sdf_only_fused(sdf_cfg, sdf_params, pts)
-    else:
-        v = fields.sdf_only(sdf_cfg, sdf_params, pts)
+    fields.sdf_only)."""
+    v = fields.sdf_only(sdf_cfg, sdf_params, pts)
     return -v if negate else v
 
 

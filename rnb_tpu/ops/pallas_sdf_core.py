@@ -1,0 +1,397 @@
+"""Pallas TPU kernel: the fused differentiable SDF core (value+feature+grad
+with a hand-derived VJP).
+
+This is the hot differentiable path of training (`/root/reference/models/
+renderer.py:492-498`: SDF MLP forward + ∇SDF + reverse through both,
+including the second-order eikonal term). Under plain XLA every one of the
+~9 linear layers round-trips its [N,256] f32 activations through HBM in the
+forward, the gradient pass, AND the transposed backward — measured 24 GB
+of HBM traffic per 512-ray step, which (not FLOPs) bounds the step at
+~25 ms (docs/ARCHITECTURE.md; XLA cost analysis in tools/bench_step.py
+history). This kernel keeps the entire chain in VMEM per point-block.
+
+Key structural idea: ∇SDF is computed by FORWARD-mode tangents that ride the
+primal matmuls as 3 extra row-blocks — each layer is ONE [4B, in]x[in, out]
+MXU matmul for {primal, ∂/∂x, ∂/∂y, ∂/∂z}. Because the gradient is then a
+*primal output* of the op, the eikonal term is first-order in it: the whole
+train-step backward is a single hand-derived reverse sweep through the
+primal+tangent chains (implemented in the backward kernel, recomputing
+activations in VMEM), and torch-style double-backprop
+(`/root/reference/models/fields.py:114-127`) disappears from the program.
+
+Derivation of the backward (per layer l, row-stacked X_l = [a; T0; T1; T2],
+Z_l = X_l @ W_l; primal rows get +b and softplus100, tangent rows get
+σ'(z)⊙):
+
+    dW_l  = X_lᵀ @ bar_Z_l          db_l = Σ_batch bar_z_l (primal rows)
+    bar_X_l = bar_Z_l @ W_lᵀ
+    through the activation that produced X_{l+1}:
+      bar_z_l  = bar_h ⊙ σ'(z_l) + Σ_d bar_Th^d ⊙ Tz^d_l ⊙ σ''(z_l)
+      bar_Tz^d = bar_Th^d ⊙ σ'(z_l)
+    with σ = softplus(100·)/100, σ' = sigmoid(100z), σ'' = 100·s(1-s),
+    and the skip concat at l∈skip_in contributing bar/√2 to its inputs.
+
+Matmul operands are bf16 with f32 accumulation (op_dtype param; f32 for the
+interpret-mode exactness tests). Accuracy at bf16 operands is validated by
+tools/validate_precision.py (sphere radius error) and the round-3 end-to-end
+Chamfer run.
+
+pts is treated as NON-differentiable (its VJP slot returns zeros): in this
+framework sample points never require gradients (z_vals are stop_gradient'd
+and rays come from data). Do not reuse this op where ∂/∂pts is needed.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rnb_tpu.models.fields import SDFConfig
+
+import os as _os
+# pts per grid step (X rows = 4*BLOCK). The fwd kernel stores nothing so it
+# can run bigger blocks than the bwd kernel (which keeps all 9 layers'
+# pre-activations in VMEM).
+FWD_BLOCK = int(_os.environ.get("RNB_CORE_FWD_BLOCK",
+                                _os.environ.get("RNB_CORE_BLOCK", "128")))
+BWD_BLOCK = int(_os.environ.get("RNB_CORE_BWD_BLOCK",
+                                _os.environ.get("RNB_CORE_BLOCK", "128")))
+
+
+def supported(cfg: SDFConfig) -> bool:
+    return cfg.multires > 0 and cfg.d_in == 3
+
+
+def _fold_dense(params):
+    """Fold weight norm into plain (W [in,out], b [out]) — differentiable XLA
+    ops on O(params) data, so autodiff carries the kernel's dW back to the
+    {v, g} parameterization for free."""
+    dense = []
+    for layer in params:
+        if "v" in layer:
+            v = layer["v"]
+            norm = jnp.linalg.norm(v, axis=0, keepdims=True)
+            w = v * (layer["g"][None, :] / jnp.maximum(norm, 1e-12))
+        else:
+            w = layer["w"]
+        dense.append((w, layer["b"]))
+    return dense
+
+
+# ---------------------------------------------------------------------------
+# shared in-kernel pieces
+# ---------------------------------------------------------------------------
+
+def _pe_rows(cfg: SDFConfig, pts):
+    """[B,3] points -> X0 [4B, in_ch] f32: stacked [e; T0; T1; T2] where e is
+    the positional encoding of u = pts*scale and T^d = ∂e/∂u_d (dense)."""
+    u = pts * cfg.scale
+    e_parts = [u]
+    t_parts = [[], [], []]
+    B = u.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, 3), 1)
+    eye = [(lane == d).astype(jnp.float32) for d in range(3)]
+    for d in range(3):
+        t_parts[d].append(eye[d])
+    for k in range(cfg.multires):
+        f = 2.0 ** k
+        ang = u * f
+        s, c = jnp.sin(ang), jnp.cos(ang)
+        e_parts += [s, c]
+        for d in range(3):
+            t_parts[d] += [f * c * eye[d], -f * s * eye[d]]
+    e = jnp.concatenate(e_parts, axis=-1)
+    ts = [jnp.concatenate(p, axis=-1) for p in t_parts]
+    return jnp.concatenate([e] + ts, axis=0)
+
+
+def _layer_matmul(X, w_ref, dtype):
+    # precision pinned explicitly: the kernel controls precision via operand
+    # dtype, and Mosaic rejects the global 'high' default leaking in
+    return jnp.dot(X.astype(dtype), w_ref[...].astype(dtype),
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.DEFAULT)
+
+
+def _forward_chain(cfg: SDFConfig, n_layers: int, w_refs, b_refs, pts, dtype,
+                   record=None):
+    """Run the stacked primal+tangent chain. Returns final Z [4B, d_out].
+    If `record` is a list, appends (X_l) inputs and the final nothing —
+    layers' pre-activation Z_l are appended for the backward sweep."""
+    B = pts.shape[0]
+    X0 = _pe_rows(cfg, pts)          # [4B, in_ch]
+    E = X0                           # skip-concat source (both row kinds)
+    X = X0
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    Z = None
+    for l in range(n_layers):
+        if l in cfg.skip_in:
+            X = jnp.concatenate([X, E], axis=-1) * inv_sqrt2
+        Z = _layer_matmul(X, w_refs[l], dtype)           # [4B, out_l]
+        if record is not None:
+            record.append(Z)
+        if l < n_layers - 1:
+            z = Z[:B] + b_refs[l][...]                   # [B, out_l]
+            s = jax.nn.sigmoid(z * 100.0)
+            h = jax.nn.softplus(z * 100.0) / 100.0
+            Tz = Z[B:].reshape(3, B, -1)
+            Th = (Tz * s[None]).reshape(3 * B, -1)
+            X = jnp.concatenate([h, Th], axis=0)
+    # final layer: z8 = Z[:B] + b8; tangent rows stay raw
+    return Z
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(cfg: SDFConfig, n_layers: int, dtype, pts_ref, *refs):
+    w_refs = refs[:n_layers]
+    b_refs = refs[n_layers:2 * n_layers]
+    sdf_ref, feat_ref, grad_ref = refs[2 * n_layers:]
+
+    B = pts_ref.shape[0]
+    Z = _forward_chain(cfg, n_layers, w_refs, b_refs, pts_ref[...], dtype)
+    z8 = Z[:B] + b_refs[n_layers - 1][...]
+    sdf_ref[...] = z8[:, :1] / cfg.scale
+    feat_ref[...] = z8[:, 1:]
+    # grad w.r.t. original x: sdf = z8[0]/scale with u = x*scale, so the
+    # 1/scale and the PE-input scale cancel: grad_d = Tz8^d[:, 0]
+    Tz8 = Z[B:].reshape(3, B, -1)
+    grad_ref[...] = jnp.transpose(Tz8[:, :, 0], (1, 0))
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(cfg: SDFConfig, n_layers: int, dtype, pts_ref, *refs):
+    w_refs = refs[:n_layers]
+    b_refs = refs[n_layers:2 * n_layers]
+    csdf_ref, cfeat_ref, cgrad_ref = refs[2 * n_layers:2 * n_layers + 3]
+    dw_refs = refs[2 * n_layers + 3:3 * n_layers + 3]
+    db_refs = refs[3 * n_layers + 3:4 * n_layers + 3]
+
+    B = pts_ref.shape[0]
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in dw_refs:
+            r[...] = jnp.zeros_like(r)
+        for r in db_refs:
+            r[...] = jnp.zeros_like(r)
+
+    # --- recompute the forward, recording pre-activation Z_l per layer ---
+    Zs = []
+    _forward_chain(cfg, n_layers, w_refs, b_refs, pts_ref[...], dtype,
+                   record=Zs)
+    X0 = _pe_rows(cfg, pts_ref[...])
+    E = X0
+
+    def x_input(l):
+        """Rebuild X_l (the input to layer l's matmul) from Z_{l-1}."""
+        if l == 0:
+            X = X0
+        else:
+            Zp = Zs[l - 1]
+            z = Zp[:B] + b_refs[l - 1][...]
+            s = jax.nn.sigmoid(z * 100.0)
+            h = jax.nn.softplus(z * 100.0) / 100.0
+            Th = (Zp[B:].reshape(3, B, -1) * s[None]).reshape(3 * B, -1)
+            X = jnp.concatenate([h, Th], axis=0)
+        if l in cfg.skip_in:
+            X = jnp.concatenate([X, E], axis=-1) * inv_sqrt2
+        return X
+
+    # --- initialize output cotangents ---
+    d_out = Zs[-1].shape[-1]
+    bar_z = jnp.concatenate([csdf_ref[...] / cfg.scale, cfeat_ref[...]],
+                            axis=-1)                       # [B, d_out]
+    # tangent cotangents: only column 0 (the sdf channel) carries c_grad
+    col0 = (jax.lax.broadcasted_iota(jnp.int32, (B, d_out), 1) == 0)
+    cg = cgrad_ref[...]                                    # [B, 3]
+    bar_T = jnp.concatenate(
+        [jnp.where(col0, cg[:, d:d + 1], 0.0) for d in range(3)], axis=0)
+    bar_Z = jnp.concatenate([bar_z, bar_T], axis=0)        # [4B, d_out]
+
+    # --- reverse sweep ---
+    for l in range(n_layers - 1, -1, -1):
+        X = x_input(l)
+        # parameter gradients (accumulated across grid steps; the TPU grid
+        # is sequential so += on the revisited output block is safe)
+        # dW = Xᵀ @ bar_Z via an EXPLICIT transpose: Mosaic lowers a
+        # dim-0-contracting dot_general pathologically (measured 3-4x the
+        # whole rest of this kernel); transpose-then-matmul costs ~2 ms
+        # total across all layers/blocks
+        dw_refs[l][...] += jnp.dot(
+            X.astype(dtype).T, bar_Z.astype(dtype),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+        db_refs[l][...] += jnp.sum(bar_Z[:B], axis=0, keepdims=True)
+        if l == 0:
+            break
+        bar_X = jax.lax.dot_general(
+            bar_Z.astype(dtype), w_refs[l][...].astype(dtype),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+        if l in cfg.skip_in:
+            h_dim = bar_X.shape[-1] - E.shape[-1]
+            bar_X = bar_X[:, :h_dim] * inv_sqrt2
+        # through the softplus100 that produced X_l's rows from Z_{l-1}
+        Zp = Zs[l - 1]
+        z = Zp[:B] + b_refs[l - 1][...]
+        s = jax.nn.sigmoid(z * 100.0)
+        Tz = Zp[B:].reshape(3, B, -1)
+        bar_h = bar_X[:B]
+        bar_Th = bar_X[B:].reshape(3, B, -1)
+        bar_zp = bar_h * s + jnp.sum(bar_Th * Tz, axis=0) * (100.0 * s
+                                                             * (1.0 - s))
+        bar_Tzp = (bar_Th * s[None]).reshape(3 * B, -1)
+        bar_Z = jnp.concatenate([bar_zp, bar_Tzp], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+def _specs_weights(weights, biases, mspace):
+    specs = []
+    for w in weights:
+        specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                  memory_space=mspace))
+    for b in biases:
+        specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0),
+                                  memory_space=mspace))
+    return specs
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def _run_fwd(cfg: SDFConfig, flat, interpret: bool, dtype):
+    pts_pad, weights, biases = flat
+    n_layers = len(weights)
+    n = pts_pad.shape[0]
+    d_out = weights[-1].shape[1]
+    mspace = pl.ANY if interpret else pltpu.VMEM
+    in_specs = [pl.BlockSpec((FWD_BLOCK, 3), lambda i: (i, 0),
+                             memory_space=mspace)]
+    in_specs += _specs_weights(weights, biases, mspace)
+    out_specs = [
+        pl.BlockSpec((FWD_BLOCK, 1), lambda i: (i, 0), memory_space=mspace),
+        pl.BlockSpec((FWD_BLOCK, d_out - 1), lambda i: (i, 0),
+                     memory_space=mspace),
+        pl.BlockSpec((FWD_BLOCK, 3), lambda i: (i, 0), memory_space=mspace),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n, d_out - 1), jnp.float32),
+        jax.ShapeDtypeStruct((n, 3), jnp.float32),
+    ]
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, cfg, n_layers, dtype),
+        grid=(n // FWD_BLOCK,),
+        in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
+        interpret=interpret,
+    )(pts_pad, *weights, *biases)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def _run_bwd(cfg: SDFConfig, flat, interpret: bool, dtype):
+    pts_pad, weights, biases, csdf, cfeat, cgrad = flat
+    n_layers = len(weights)
+    n = pts_pad.shape[0]
+    d_out = weights[-1].shape[1]
+    mspace = pl.ANY if interpret else pltpu.VMEM
+    in_specs = [pl.BlockSpec((BWD_BLOCK, 3), lambda i: (i, 0),
+                             memory_space=mspace)]
+    in_specs += _specs_weights(weights, biases, mspace)
+    in_specs += [
+        pl.BlockSpec((BWD_BLOCK, 1), lambda i: (i, 0), memory_space=mspace),
+        pl.BlockSpec((BWD_BLOCK, d_out - 1), lambda i: (i, 0),
+                     memory_space=mspace),
+        pl.BlockSpec((BWD_BLOCK, 3), lambda i: (i, 0), memory_space=mspace),
+    ]
+    out_specs, out_shape = [], []
+    for w in weights:
+        out_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                      memory_space=mspace))
+        out_shape.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+    for b in biases:
+        out_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0),
+                                      memory_space=mspace))
+        out_shape.append(jax.ShapeDtypeStruct(b.shape, jnp.float32))
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, cfg, n_layers, dtype),
+        grid=(n // BWD_BLOCK,),
+        in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
+        interpret=interpret,
+    )(pts_pad, *weights, *biases, csdf, cfeat, cgrad)
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP over the dense (folded) weights
+# ---------------------------------------------------------------------------
+
+BLOCK = max(FWD_BLOCK, BWD_BLOCK)  # padding granularity (tests import this)
+
+
+def _pad_pts(pts):
+    n = pts.shape[0]
+    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    if n_pad != n:
+        pts = jnp.pad(pts, ((0, n_pad - n), (0, 0)))
+    return pts, n
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _core(cfg: SDFConfig, interpret: bool, dtype, ws, bs, pts):
+    out, _ = _core_fwd(cfg, interpret, dtype, ws, bs, pts)
+    return out
+
+
+def _core_fwd(cfg, interpret, dtype, ws, bs, pts):
+    pts_pad, n = _pad_pts(pts)
+    sdf, feat, grad = _run_fwd(cfg, (pts_pad, ws, bs), interpret, dtype)
+    return (sdf[:n, 0], feat[:n], grad[:n]), (ws, bs, pts)
+
+
+def _core_bwd(cfg, interpret, dtype, res, cots):
+    ws, bs, pts = res
+    c_sdf, c_feat, c_grad = cots
+    pts_pad, n = _pad_pts(pts)
+    pad = pts_pad.shape[0] - n
+    csdf = jnp.pad(c_sdf[:, None], ((0, pad), (0, 0)))
+    cfeat = jnp.pad(c_feat, ((0, pad), (0, 0)))
+    cgrad = jnp.pad(c_grad, ((0, pad), (0, 0)))
+    outs = _run_bwd(cfg, (pts_pad, ws, bs, csdf, cfeat, cgrad), interpret,
+                    dtype)
+    n_layers = len(ws)
+    dws = tuple(outs[:n_layers])
+    dbs = tuple(outs[n_layers:])   # keep [1, out] — must match bs' shapes
+    # pts declared non-differentiable (see module docstring)
+    return dws, dbs, jnp.zeros_like(pts)
+
+
+_core.defvjp(_core_fwd, _core_bwd)
+
+
+def sdf_value_feat_grad_fused(cfg: SDFConfig, params, pts,
+                              interpret: bool | None = None,
+                              dtype=jnp.bfloat16):
+    """Drop-in for fields.sdf_value_feat_grad: [N,3] -> (sdf [N], feat [N,F],
+    grad [N,3]), differentiable w.r.t. params (incl. weight norm) in ONE
+    reverse pass. The sdf output of the kernel is pre-divided... scale note:
+    the kernel divides the sdf channel by cfg.scale and emits ∂/∂x directly.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dense = _fold_dense(params)
+    ws = tuple(w for w, _ in dense)
+    bs = tuple(b[None, :] for _, b in dense)   # [1, out] for 2-D tiling
+    return _core(cfg, interpret, dtype, ws, bs, pts)

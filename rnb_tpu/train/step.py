@@ -66,8 +66,7 @@ class TrainConfig:
     matmul_precision: str = "high"      # 'default' | 'high' | 'highest'
     upsample_precision: str = "bf16"    # 'bf16' | 'f32' no-grad sweeps
     remat: bool = False                 # jax.checkpoint the field nets
-    pallas_mlp: bool = False            # fused Pallas SDF inference kernel
-    fused_upsample: bool = False        # Pallas up-sample megakernel
+    core_impl: str = "pallas"           # 'pallas' | 'vjp' | 'fwdmode'
 
 
 def train_conf(conf) -> TrainConfig:
@@ -97,8 +96,7 @@ def resolve_runtime_flags(tcfg: TrainConfig) -> TrainConfig:
         upsample_precision=os.environ.get("RNB_UPSAMPLE_PREC",
                                           tcfg.upsample_precision),
         remat=_env_bool("RNB_REMAT", tcfg.remat),
-        pallas_mlp=_env_bool("RNB_PALLAS", tcfg.pallas_mlp),
-        fused_upsample=_env_bool("RNB_FUSED_UPSAMPLE", tcfg.fused_upsample),
+        core_impl=os.environ.get("RNB_CORE_IMPL", tcfg.core_impl),
     )
 
 
@@ -110,8 +108,7 @@ def apply_runtime_flags(rcfg, tcfg: TrainConfig):
     return dataclasses.replace(rcfg,
                                upsample_prec=tcfg.upsample_precision,
                                remat=tcfg.remat,
-                               use_pallas_mlp=tcfg.pallas_mlp,
-                               use_fused_upsample=tcfg.fused_upsample)
+                               core_impl=tcfg.core_impl)
 
 
 def runtime_flags_dict(tcfg: TrainConfig) -> dict:
@@ -121,8 +118,7 @@ def runtime_flags_dict(tcfg: TrainConfig) -> dict:
         "matmul_precision": tcfg.matmul_precision,
         "upsample_precision": tcfg.upsample_precision,
         "remat": tcfg.remat,
-        "pallas_mlp": tcfg.pallas_mlp,
-        "fused_upsample": tcfg.fused_upsample,
+        "core_impl": tcfg.core_impl,
     }
 
 
