@@ -299,6 +299,92 @@ class Dataset:
 # synthetic scenes (test fixtures / demos)
 # ---------------------------------------------------------------------------
 
+def torus_sdf(p: np.ndarray, R: float = 0.5, r: float = 0.22) -> np.ndarray:
+    """Signed distance to a z-axis torus (closed form — also the exact
+    point-to-surface distance, which makes Chamfer against this surface an
+    exact measurement rather than a mesh-vs-mesh estimate)."""
+    rho = np.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2)
+    return np.sqrt((rho - R) ** 2 + p[..., 2] ** 2) - r
+
+
+def _torus_normal(p: np.ndarray, R: float = 0.5) -> np.ndarray:
+    rho = np.maximum(np.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2), 1e-12)
+    g = np.stack([p[..., 0] * (rho - R) / rho,
+                  p[..., 1] * (rho - R) / rho,
+                  p[..., 2]], axis=-1)
+    return g / np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+
+
+def make_torus_scene(n_views: int = 8, H: int = 128, W: int = 128,
+                     R: float = 0.5, r: float = 0.22, cam_dist: float = 3.0,
+                     albedo_rgb=(0.7, 0.55, 0.35), seed: int = 0) -> Dataset:
+    """Analytic torus scene rendered by sphere tracing — a NON-convex,
+    genus-1 fixture whose surface differs qualitatively from the SDF
+    network's unit-sphere geometric init (a much stronger end-to-end
+    convergence test than the sphere: training must both shrink the surface
+    and open the hole). Cameras/conventions identical to make_sphere_scene.
+    """
+    normals_np = np.zeros((n_views, H, W, 3), np.float32)
+    albedos_np = np.zeros((n_views, H, W, 3), np.float32)
+    masks_np = np.zeros((n_views, H, W), np.float32)
+    world_mats, scale_mats = [], []
+    focal = 1.2 * max(H, W)
+    K = np.array([[focal, 0, W / 2.0], [0, focal, H / 2.0], [0, 0, 1.0]])
+
+    for v in range(n_views):
+        theta = 2 * np.pi * v / n_views
+        # tilt the ring so some views look into the hole
+        phi = 0.9 * np.sin(theta * 2 + 1.0)
+        C = cam_dist * np.array([np.cos(theta) * np.cos(phi),
+                                 np.sin(theta) * np.cos(phi),
+                                 np.sin(phi)])
+        z = -C / np.linalg.norm(C)
+        up = np.array([0.0, 0.0, 1.0])
+        if abs(np.dot(z, up)) > 0.99:
+            up = np.array([0.0, 1.0, 0.0])
+        x = np.cross(z, up)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R_w2c = np.stack([x, y, z])
+        t = -R_w2c @ C
+        P = K @ np.concatenate([R_w2c, t[:, None]], axis=1)
+        world_mat = np.eye(4, dtype=np.float32)
+        world_mat[:3, :4] = P
+        world_mats.append(world_mat)
+        scale_mats.append(np.eye(4, dtype=np.float32))
+
+        px, py = np.meshgrid(np.arange(W), np.arange(H), indexing="xy")
+        pp = np.stack([px + 0.0, py + 0.0, np.ones_like(px, np.float64)],
+                      axis=-1)
+        d_cam = pp @ np.linalg.inv(K).T
+        d_cam /= np.linalg.norm(d_cam, axis=-1, keepdims=True)
+        d_world = d_cam @ R_w2c
+
+        # sphere-trace the torus SDF
+        t_ray = np.full((H, W), cam_dist - 1.2)
+        alive = np.ones((H, W), bool)
+        for _ in range(160):
+            p = C[None, None] + t_ray[..., None] * d_world
+            d = torus_sdf(p, R, r)
+            t_ray = np.where(alive, t_ray + d, t_ray)
+            alive = alive & (d > 1e-5) & (t_ray < cam_dist + 1.2)
+        p = C[None, None] + t_ray[..., None] * d_world
+        hit = (np.abs(torus_sdf(p, R, r)) < 1e-3) & (t_ray < cam_dist + 1.2)
+
+        n_world = _torus_normal(p, R)
+        n_cam = n_world @ R_w2c.T
+        normals_np[v] = np.where(hit[..., None], n_cam, 0.0)
+        masks_np[v] = hit.astype(np.float32)
+        tex = 0.5 + 0.5 * np.sin(6 * np.pi * p[..., 0]) * np.cos(
+            6 * np.pi * p[..., 2])
+        albedos_np[v] = np.where(
+            hit[..., None],
+            np.asarray(albedo_rgb)[None, None] * (0.5 + 0.5 * tex[..., None]),
+            0.0)
+
+    return Dataset(normals_np, albedos_np, masks_np, world_mats, scale_mats)
+
+
 def make_sphere_scene(n_views: int = 8, H: int = 64, W: int = 64,
                       radius: float = 0.5, cam_dist: float = 3.0,
                       albedo_rgb=(0.8, 0.5, 0.3), seed: int = 0) -> Dataset:

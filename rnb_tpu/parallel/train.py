@@ -9,9 +9,15 @@ single-GPU step — mask_sum, eikonal normalization and BCE mean are all
 reassembled from psum'd numerators/denominators, `exp_runner.py:241-256`).
 
 Built on jax.shard_map with explicit collectives (rides ICI on a pod slice;
-multi-host joins the same mesh via jax.distributed). Params and image arrays
-stay replicated (the nets are ~1M params; the maps are the big tensors — for
-multi-host, per-host view sharding is the next axis, see ``dryrun`` notes).
+multi-host joins the same mesh via jax.distributed). Params stay replicated
+(the nets are ~1M params). Two dataset placements:
+
+  * make_sharded_train_step — maps replicated on every device (simple, but
+    caps dataset size at one device's HBM);
+  * make_view_sharded_train_step — the VIEW axis sharded across devices
+    (rnb_tpu.parallel.data), each device training rays of its own view per
+    step; scales dataset memory with the mesh and is the multi-host path
+    (each process loads only its view shard).
 """
 
 from __future__ import annotations
@@ -29,27 +35,17 @@ from rnb_tpu.models.fields import ModelStatics
 from rnb_tpu.models.renderer import RendererConfig
 from rnb_tpu.parallel.mesh import RAY_AXIS
 from rnb_tpu.train import schedules
-from rnb_tpu.train.step import TrainConfig, TrainState, make_optimizer
+from rnb_tpu.train.step import (TrainConfig, TrainState, make_optimizer,
+                                with_metrics_ring)
 
 
-def make_sharded_train_step(statics: ModelStatics, rcfg: RendererConfig,
-                            tcfg: TrainConfig, warmup: bool, no_albedo: bool,
-                            mesh: Mesh, batch_size: int | None = None,
-                            donate: bool = True):
-    """Returns jitted (state, arrays, view_idx, base_key) -> (state, metrics).
-
-    The global batch (tcfg.batch_size) is split evenly across the mesh's ray
-    axis; every device samples a disjoint pixel set via axis-indexed RNG fold.
-    """
-    opt = make_optimizer(tcfg)
-    global_bsz = batch_size or tcfg.batch_size
-    n_dev = mesh.shape[RAY_AXIS]
-    assert global_bsz % n_dev == 0, (global_bsz, n_dev)
-    local_bsz = global_bsz // n_dev
-
+def _make_local_loss(statics: ModelStatics, rcfg: RendererConfig,
+                     tcfg: TrainConfig, warmup: bool, no_albedo: bool,
+                     local_bsz: int):
+    """The per-device loss shared by both sharded steps (replicated-data and
+    view-sharded): sample local rays, render, psum partial sums into the
+    global loss (replicated across devices)."""
     def local_loss(params, arrays, view_idx, key, step):
-        """Per-device: sample local rays, render, psum partial sums into the
-        global loss (replicated across devices)."""
         k_ray, k_render = jax.random.split(key)
         batch = ds.sample_rays_on_all_lights(arrays, view_idx, k_ray, local_bsz)
         if warmup:
@@ -108,6 +104,28 @@ def make_sharded_train_step(statics: ModelStatics, rcfg: RendererConfig,
         }
         return loss, metrics
 
+    return local_loss
+
+
+def make_sharded_train_step(statics: ModelStatics, rcfg: RendererConfig,
+                            tcfg: TrainConfig, warmup: bool, no_albedo: bool,
+                            mesh: Mesh, batch_size: int | None = None,
+                            donate: bool = True, metrics_ring: bool = False):
+    """Returns jitted (state, arrays, view_idx, base_key) -> (state, metrics).
+
+    The global batch (tcfg.batch_size) is split evenly across the mesh's ray
+    axis; every device samples a disjoint pixel set via axis-indexed RNG fold.
+    Dataset arrays are replicated (view-sharded variant below scales past
+    one device's HBM).
+    """
+    opt = make_optimizer(tcfg)
+    global_bsz = batch_size or tcfg.batch_size
+    n_dev = mesh.shape[RAY_AXIS]
+    assert global_bsz % n_dev == 0, (global_bsz, n_dev)
+    local_bsz = global_bsz // n_dev
+    local_loss = _make_local_loss(statics, rcfg, tcfg, warmup, no_albedo,
+                                  local_bsz)
+
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(), P(), P(), P()),
              out_specs=(P(), P()),
@@ -132,8 +150,69 @@ def make_sharded_train_step(statics: ModelStatics, rcfg: RendererConfig,
             tcfg.learning_rate_alpha)(state.step)
         return TrainState(params, opt_state, state.step + 1), metrics
 
+    if metrics_ring:
+        return jax.jit(with_metrics_ring(step_fn),
+                       donate_argnums=(0, 4) if donate else (4,))
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
 def rnd_total_samples(rcfg: RendererConfig) -> int:
     return rcfg.total_samples if rcfg.n_importance > 0 else rcfg.n_samples
+
+
+def make_view_sharded_train_step(statics: ModelStatics, rcfg: RendererConfig,
+                                 tcfg: TrainConfig, warmup: bool,
+                                 no_albedo: bool, mesh: Mesh,
+                                 batch_size: int | None = None,
+                                 donate: bool = True,
+                                 metrics_ring: bool = False):
+    """Data-parallel step over a VIEW-SHARDED dataset (see parallel.data):
+    arrays arrive with their view axis sharded over the ray mesh; device d
+    samples its local ray batch from its own view at `view_slot`, so one
+    step trains on n_dev distinct views with zero data movement (the
+    reference trains one view/step, `exp_runner.py:172-174`; same
+    expectation over an epoch). Loss/grad reassembly is identical psum math
+    to make_sharded_train_step.
+
+    Returned fn: (state, sharded_arrays, view_slot scalar, base_key)
+    -> (state, metrics). view_slot indexes within each device's local views.
+    """
+    opt = make_optimizer(tcfg)
+    global_bsz = batch_size or tcfg.batch_size
+    n_dev = mesh.shape[RAY_AXIS]
+    assert global_bsz % n_dev == 0, (global_bsz, n_dev)
+    local_bsz = global_bsz // n_dev
+    loss_fn = _make_local_loss(statics, rcfg, tcfg, warmup, no_albedo,
+                               local_bsz)
+
+    arrays_spec = P(RAY_AXIS)  # every DataArrays leaf is view-major
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), arrays_spec, P(), P()),
+             out_specs=(P(), P()),
+             check_vma=False)
+    def sharded_grads(params, arrays, view_slot, keystep):
+        base_key, step = keystep
+        local_v = arrays.normals.shape[0]
+        view_local = view_slot % local_v
+        key = jax.random.fold_in(jax.random.fold_in(base_key, step),
+                                 jax.lax.axis_index(RAY_AXIS))
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, arrays, view_local, key, step)
+        grads = jax.lax.psum(grads, RAY_AXIS)
+        return grads, metrics
+
+    def step_fn(state: TrainState, arrays: ds.DataArrays, view_slot, base_key):
+        grads, metrics = sharded_grads(state.params, arrays, view_slot,
+                                       (base_key, state.step))
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["lr"] = schedules.make_lr_schedule(
+            tcfg.learning_rate, tcfg.warm_up_end, tcfg.end_iter,
+            tcfg.learning_rate_alpha)(state.step)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    if metrics_ring:
+        return jax.jit(with_metrics_ring(step_fn),
+                       donate_argnums=(0, 4) if donate else (4,))
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -82,14 +82,27 @@ class Runner:
         elif isinstance(shard, int) and shard > 1:
             self.mesh = meshlib.make_ray_mesh(shard)
 
+        # dataset placement: replicated, or view-sharded over the mesh
+        # (train.view_shard conf key; parallel/data.py)
+        self.view_shard = bool(self.tcfg.view_shard and self.mesh is not None)
+        if self.view_shard:
+            from rnb_tpu.parallel.data import pad_views, shard_views
+            self._train_arrays = shard_views(self.dataset.arrays, self.mesh)
+            self._n_view_slots = (len(pad_views(self.dataset.n_images,
+                                                self.mesh.devices.size))
+                                  // self.mesh.devices.size)
+        else:
+            self._train_arrays = self.dataset.arrays
+            self._n_view_slots = self.dataset.n_images
+
         self._step_fns = {}
         self._chunk_render_fns = {}
         self.writer: ScalarLogger | None = None
         self._host_step: int | None = None  # host-side iter counter (avoids
         # a device sync per loop iteration; see train_rnb)
-        self._snap_candidate = None  # (step, host state) awaiting confirmation
-        self._snap_good = None       # newest snapshot all of whose metrics
-        #                              were confirmed finite (NaN-guard dump)
+        self._snap_good = None  # newest (step, host state) snapshot whose
+        #                         metrics were all confirmed finite (dumped
+        #                         by the NaN guard for restarts)
 
         if is_continue:
             latest = ckptlib.latest_checkpoint(
@@ -123,42 +136,52 @@ class Runner:
     def _get_step_fn(self, warmup: bool):
         key = (warmup, self.mesh is not None)
         if key not in self._step_fns:
-            if self.mesh is not None:
+            if self.view_shard:
+                from rnb_tpu.parallel.train import make_view_sharded_train_step
+                fn = make_view_sharded_train_step(self.statics, self.rcfg,
+                                                  self.tcfg, warmup,
+                                                  self.no_albedo, self.mesh,
+                                                  metrics_ring=True)
+            elif self.mesh is not None:
                 from rnb_tpu.parallel.train import make_sharded_train_step
                 fn = make_sharded_train_step(self.statics, self.rcfg, self.tcfg,
-                                             warmup, self.no_albedo, self.mesh)
+                                             warmup, self.no_albedo, self.mesh,
+                                             metrics_ring=True)
             else:
                 fn = steplib.make_train_step(self.statics, self.rcfg, self.tcfg,
-                                             warmup, self.no_albedo)
+                                             warmup, self.no_albedo,
+                                             metrics_ring=True)
             self._step_fns[key] = fn
         return self._step_fns[key]
 
     # -- training -------------------------------------------------------------
 
-    # metric fetches (and therefore NaN detection) trail the live step by up
-    # to LAG steps — see the pipeline note in train_rnb
-    LAG = 16
+    # Metrics ring size: the device step writes its scalars into a
+    # [RING, n_metrics] buffer the host fetches ONCE per RING steps — on
+    # remote-TPU links each individual device->host scalar fetch costs a
+    # full round-trip (~24 ms measured through this image's tunnel), so
+    # per-step fetching of 9 scalars turned a 17 ms step into ~260 ms.
+    # NaN detection consequently trails the live step by up to RING steps.
+    RING = 64
 
     def train_rnb(self):
         """The training loop (`exp_runner.py:156-306`)."""
-        from collections import deque
         self.writer = ScalarLogger(os.path.join(self.base_exp_dir, "logs"))
         self.writer.meta({"conf": self.conf_path, "overrides": self.overrides,
                           "flags": steplib.runtime_flags_dict(self.tcfg),
                           "jax_backend": jax.default_backend()})
         it = int(self.state.step)   # one device sync; host-side from here on
         self._host_step = it
-        image_perm = self._host_rng.permutation(self.dataset.n_images)
+        # view-sharded mode: the per-step index is a SLOT into each device's
+        # local view shard (n_dev views train per step); otherwise a global
+        # view index like the reference (`exp_runner.py:164,172`)
+        image_perm = self._host_rng.permutation(self._n_view_slots)
         t_report = time.time()
         rays_done = 0
-        # Deferred metric fetch: converting a metric to float blocks the host
-        # until that step's program finishes, which collapses the dispatch
-        # pipeline. We queue metric pytrees and only materialize them once
-        # they are LAG steps old (already computed => the fetch is free).
-        # Every step is queued and logged (reference cadence,
-        # `exp_runner.py:269-274`); the NaN fail-fast consequently inspects
-        # every step but lags up to LAG steps behind the live one.
-        pending: deque = deque()
+        self._report_rps = 0.0
+        ring = steplib.new_metrics_ring(self.RING)
+        ring_start = it             # newest step already consumed/logged
+        self._last_snap = it
 
         # tracing/profiling (SURVEY.md §5: the reference has none; we expose
         # jax.profiler traces of a step window via env vars)
@@ -175,8 +198,8 @@ class Runner:
                     jax.profiler.start_trace(prof_dir)
                     prof_active = True
                 fn = self._get_step_fn(warmup)
-                self.state, metrics = fn(self.state, self.dataset.arrays, view,
-                                         self.base_key)
+                self.state, ring = fn(self.state, self._train_arrays, view,
+                                      self.base_key, ring)
                 if prof_active and it >= prof_start + prof_steps - 1:
                     jax.block_until_ready(self.state.params)
                     jax.profiler.stop_trace()
@@ -186,15 +209,12 @@ class Runner:
                 self._host_step = it
                 rays_done += self.tcfg.batch_size
 
-                rps = None
                 if it % self.tcfg.report_freq == 0:
                     dt = time.time() - t_report
-                    rps = rays_done / max(dt, 1e-9)
+                    self._report_rps = rays_done / max(dt, 1e-9)
                     t_report, rays_done = time.time(), 0
-                pending.append((it, metrics, rps))
-                while pending and (it - pending[0][0] >= self.LAG
-                                   or len(pending) > 4 * self.LAG):
-                    self._consume_metrics(*pending.popleft())
+                if it % self.RING == 0:
+                    ring_start = self._consume_ring(ring, ring_start, it)
 
                 if it % self.tcfg.save_freq == 0:
                     self.save_checkpoint()
@@ -202,68 +222,73 @@ class Runner:
                     self.validate_image()
                 if it % self.tcfg.val_mesh_freq == 0:
                     self.validate_mesh()
-                if it % self.dataset.n_images == 0:
+                if it % self._n_view_slots == 0:
                     image_perm = self._host_rng.permutation(
-                        self.dataset.n_images)
+                        self._n_view_slots)
 
-            while pending:
-                self._consume_metrics(*pending.popleft())
+            if it > ring_start:
+                self._consume_ring(ring, ring_start, it)
         finally:
             self.writer.close()
 
-    def _consume_metrics(self, it: int, metrics, rps=None):
-        """Materialize and log one step's metrics (runs LAG steps behind)."""
-        m = {k: float(v) for k, v in metrics.items()}
-        # NaN guard (SURVEY.md §5 sanitizers): fail fast instead of training
-        # on garbage. Detection trails the live step by <= LAG steps, so the
-        # live state has been updated through up to LAG non-finite gradient
-        # steps; we dump it for diagnosis AND keep a periodically-refreshed
-        # snapshot whose metrics were all confirmed finite for restarts.
-        if not np.isfinite(m["loss"]):
-            ckpt_dir = os.path.join(self.base_exp_dir, "checkpoints")
-            path = ckptlib.checkpoint_path(ckpt_dir, it, prefix="nan_dump_")
-            ckptlib.save_checkpoint(path, self.state)
-            good_msg = "no confirmed-good snapshot yet"
-            if self._snap_good is not None:
-                good_it, good_state = self._snap_good
-                good_path = ckptlib.checkpoint_path(ckpt_dir, good_it,
-                                                    prefix="last_good_")
-                ckptlib.save_checkpoint(good_path, good_state)
-                good_msg = (f"last confirmed-finite state (iter {good_it}) "
-                            f"saved to {good_path}")
-            raise FloatingPointError(
-                f"non-finite loss at iter {it}: {m}. NOTE the dump at {path} "
-                f"is the LIVE state (iter {self.iter_step}, i.e. up to "
-                f"{self.LAG} steps PAST the NaN) — diagnostic only; "
-                f"{good_msg}. Rerun with RNB_DEBUG_NANS=1 to locate the op.")
-        # promote the candidate snapshot once a metric at/after its step is
-        # confirmed finite; refresh the candidate periodically (device->host
-        # copy of ~1M params, amortized over report_freq steps)
-        if (self._snap_candidate is not None
-                and it >= self._snap_candidate[0]):
-            self._snap_good = self._snap_candidate
-            self._snap_candidate = None
-        if self._snap_candidate is None and it % self.tcfg.report_freq == 0:
-            self._snap_candidate = (self.iter_step,
-                                    jax.device_get(self.state))
-        self.writer.log(it, {
-            "Loss/loss": m["loss"],
-            "Loss/color_loss": m["color_loss"],
-            "Loss/eikonal_loss": m["eikonal_loss"],
-            "Loss/mask_loss": m["mask_loss"],
-            "Statistics/s_val": m["s_val"],
-            "Statistics/cdf": m["cdf"],
-            "Statistics/weight_max": m["weight_max"],
-            "Statistics/psnr": m["psnr"],
-            "lr": m["lr"],
-        })
-        if rps is not None:
-            self.writer.log(it, {"Perf/rays_per_s": rps})
-            print(f"iter:{it:8d} loss={m['loss']:.5f} "
-                  f"color={m['color_loss']:.5f} "
-                  f"eik={m['eikonal_loss'] * self.tcfg.igr_weight:.5f} "
-                  f"mask={m['mask_loss'] * self.tcfg.mask_weight:.5f} "
-                  f"lr={m['lr']:.3e} rays/s={rps:.0f}", flush=True)
+    def _consume_ring(self, ring, start: int, end_it: int) -> int:
+        """Fetch the metrics ring once (a single device->host transfer that
+        syncs through step end_it) and log rows for steps (start, end_it]."""
+        rows = np.asarray(ring)
+        K = rows.shape[0]
+        for s in range(start + 1, end_it + 1):
+            m = dict(zip(steplib.METRIC_KEYS,
+                         (float(v) for v in rows[(s - 1) % K])))
+            # NaN guard (SURVEY.md §5 sanitizers): fail fast instead of
+            # training on garbage. Detection trails the live step by up to
+            # RING steps, so the live state has been updated through up to
+            # RING non-finite gradient steps; we dump it for diagnosis AND
+            # keep a periodically-refreshed confirmed-finite snapshot.
+            if not np.isfinite(m["loss"]):
+                ckpt_dir = os.path.join(self.base_exp_dir, "checkpoints")
+                path = ckptlib.checkpoint_path(ckpt_dir, s, prefix="nan_dump_")
+                ckptlib.save_checkpoint(path, self.state)
+                good_msg = "no confirmed-good snapshot yet"
+                if self._snap_good is not None:
+                    good_it, good_state = self._snap_good
+                    good_path = ckptlib.checkpoint_path(ckpt_dir, good_it,
+                                                        prefix="last_good_")
+                    ckptlib.save_checkpoint(good_path, good_state)
+                    good_msg = (f"last confirmed-finite state (iter "
+                                f"{good_it}) saved to {good_path}")
+                raise FloatingPointError(
+                    f"non-finite loss at iter {s}: {m}. NOTE the dump at "
+                    f"{path} is the LIVE state (iter {self.iter_step}, up to "
+                    f"{self.RING} steps PAST the NaN) — diagnostic only; "
+                    f"{good_msg}. Rerun with RNB_DEBUG_NANS=1 to locate the "
+                    f"op.")
+            self.writer.log(s, {
+                "Loss/loss": m["loss"],
+                "Loss/color_loss": m["color_loss"],
+                "Loss/eikonal_loss": m["eikonal_loss"],
+                "Loss/mask_loss": m["mask_loss"],
+                "Statistics/s_val": m["s_val"],
+                "Statistics/cdf": m["cdf"],
+                "Statistics/weight_max": m["weight_max"],
+                "Statistics/psnr": m["psnr"],
+                "lr": m["lr"],
+            })
+            if s % self.tcfg.report_freq == 0:
+                rps = self._report_rps
+                self.writer.log(s, {"Perf/rays_per_s": rps})
+                print(f"iter:{s:8d} loss={m['loss']:.5f} "
+                      f"color={m['color_loss']:.5f} "
+                      f"eik={m['eikonal_loss'] * self.tcfg.igr_weight:.5f} "
+                      f"mask={m['mask_loss'] * self.tcfg.mask_weight:.5f} "
+                      f"lr={m['lr']:.3e} rays/s={rps:.0f}", flush=True)
+        # every metric <= end_it is now confirmed finite and the ring fetch
+        # synced the host through step end_it, so the live state IS a
+        # confirmed-good snapshot; refresh it periodically (device->host
+        # copy of ~1M params, amortized over >=2000 steps)
+        if end_it - self._last_snap >= 2000:
+            self._snap_good = (end_it, jax.device_get(self.state))
+            self._last_snap = end_it
+        return end_it
 
     # -- checkpointing --------------------------------------------------------
 

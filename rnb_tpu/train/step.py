@@ -67,6 +67,9 @@ class TrainConfig:
     upsample_precision: str = "bf16"    # 'bf16' | 'f32' no-grad sweeps
     remat: bool = False                 # jax.checkpoint the field nets
     core_impl: str = "pallas"           # 'pallas' | 'vjp' | 'fwdmode'
+    view_shard: bool = False            # shard the dataset's view axis over
+    #                                     the mesh (parallel.data; each device
+    #                                     trains rays of its own view)
 
 
 def train_conf(conf) -> TrainConfig:
@@ -97,6 +100,7 @@ def resolve_runtime_flags(tcfg: TrainConfig) -> TrainConfig:
                                           tcfg.upsample_precision),
         remat=_env_bool("RNB_REMAT", tcfg.remat),
         core_impl=os.environ.get("RNB_CORE_IMPL", tcfg.core_impl),
+        view_shard=_env_bool("RNB_VIEW_SHARD", tcfg.view_shard),
     )
 
 
@@ -119,6 +123,7 @@ def runtime_flags_dict(tcfg: TrainConfig) -> dict:
         "upsample_precision": tcfg.upsample_precision,
         "remat": tcfg.remat,
         "core_impl": tcfg.core_impl,
+        "view_shard": tcfg.view_shard,
     }
 
 
@@ -126,6 +131,34 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray  # int32 scalar
+
+
+# Metric scalars, in the fixed order they are packed into the metrics ring.
+METRIC_KEYS = ("loss", "color_loss", "eikonal_loss", "mask_loss", "s_val",
+               "cdf", "weight_max", "psnr", "lr")
+
+
+def new_metrics_ring(n_steps: int = 64) -> jnp.ndarray:
+    """Device-side [n_steps, n_metrics] ring the step writes its scalars
+    into. The host fetches the WHOLE ring once per n_steps instead of
+    fetching each scalar individually — on remote-TPU links a scalar
+    device->host fetch costs a full round-trip (~24 ms measured through this
+    image's tunnel; 9 scalars/step turned a 17 ms step into a 260 ms step),
+    so per-step metric fetching must be batched to amortize."""
+    return jnp.zeros((n_steps, len(METRIC_KEYS)), jnp.float32)
+
+
+def with_metrics_ring(raw_step):
+    """Wrap a (state, arrays, view, key) -> (state, metrics) step so it also
+    maintains a metrics ring: row (state.step % K) <- packed metrics."""
+    def fn(state, arrays, view_idx, base_key, ring):
+        new_state, metrics = raw_step(state, arrays, view_idx, base_key)
+        row = jnp.stack([metrics[k].reshape(()) for k in METRIC_KEYS])
+        idx = jnp.mod(state.step, ring.shape[0])
+        ring = jax.lax.dynamic_update_slice(
+            ring, row[None].astype(ring.dtype), (idx, jnp.asarray(0)))
+        return new_state, ring
+    return fn
 
 
 def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
@@ -189,11 +222,14 @@ def _loss_terms(statics: ModelStatics, rcfg: RendererConfig, tcfg: TrainConfig,
 
 def make_train_step(statics: ModelStatics, rcfg: RendererConfig,
                     tcfg: TrainConfig, warmup: bool, no_albedo: bool,
-                    batch_size: int | None = None, donate: bool = True):
+                    batch_size: int | None = None, donate: bool = True,
+                    metrics_ring: bool = False):
     """Build the jitted step for one phase.
 
     Returned fn: (state, arrays: DataArrays, view_idx scalar, base_key)
-    -> (state, metrics dict of scalars).
+    -> (state, metrics dict of scalars); with metrics_ring=True the fn is
+    (state, arrays, view_idx, base_key, ring) -> (state, ring) — see
+    new_metrics_ring for why the training loop uses the ring form.
     """
     opt = make_optimizer(tcfg)
     bsz = batch_size or tcfg.batch_size
@@ -225,5 +261,7 @@ def make_train_step(statics: ModelStatics, rcfg: RendererConfig,
             tcfg.learning_rate_alpha)(state.step)
         return new_state, metrics
 
-    donate_argnums = (0,) if donate else ()
-    return jax.jit(step_fn, donate_argnums=donate_argnums)
+    if metrics_ring:
+        return jax.jit(with_metrics_ring(step_fn),
+                       donate_argnums=(0, 4) if donate else (4,))
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

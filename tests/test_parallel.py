@@ -123,6 +123,92 @@ def test_sharded_step_runs_and_determinism(scene, statics, params):
     assert np.isfinite(float(m1["loss"]))
 
 
+def test_view_sharded_step_matches_manual_global_computation(scene, statics,
+                                                             params):
+    """The view-sharded step (each device trains rays of ITS OWN view from a
+    view-sharded dataset, parallel/data.py): replay every device's sampling
+    serially on the replicated arrays (device d's view = pad_views order at
+    d*V_local + slot), rebuild the global loss by the psum formulas, and
+    compare loss + updated params."""
+    from rnb_tpu.parallel.data import pad_views, shard_views
+    from rnb_tpu.parallel.train import make_view_sharded_train_step
+
+    rcfg = RendererConfig(n_samples=8, n_importance=8, up_sample_steps=2,
+                          perturb=0.0)
+    tcfg = steplib.TrainConfig(end_iter=100, warm_up_end=10, batch_size=128,
+                               mask_weight=0.1)
+    mesh = meshlib.make_ray_mesh()
+    n_dev = 8
+    local_bsz = tcfg.batch_size // n_dev
+    slot = 0
+
+    arrays_sharded = shard_views(scene.arrays, mesh)
+    order = pad_views(scene.n_images, n_dev)          # 3 views -> 8 slots
+    v_local = len(order) // n_dev
+    assert v_local == 1
+
+    state = steplib.init_train_state(params, tcfg)
+    fn = make_view_sharded_train_step(statics, rcfg, tcfg, warmup=True,
+                                      no_albedo=False, mesh=mesh,
+                                      donate=False)
+    base_key = jax.random.PRNGKey(11)
+    new_state, metrics = fn(state, arrays_sharded, slot, base_key)
+
+    # ---- serial replay on the replicated arrays --------------------------
+    step0 = jnp.zeros((), jnp.int32)
+    batches = []
+    for d in range(n_dev):
+        k = jax.random.fold_in(jax.random.fold_in(base_key, step0), d)
+        k_ray, k_render = jax.random.split(k)
+        view = order[d * v_local + slot]
+        batches.append((ds.sample_rays_on_all_lights(scene.arrays, view,
+                                                     k_ray, local_bsz),
+                        k_render))
+
+    def manual_loss(p):
+        abs_err = msum = eik_n = eik_d = bce = 0.0
+        for batch, k_render in batches:
+            lights_dir = batch.lights_warmup.reshape(-1, 1, 1, 3)
+            mask = (batch.mask > 0.5).astype(jnp.float32)
+            out = rnd.render_rnb(statics, rcfg, p, batch.rays_o, batch.rays_d,
+                                 batch.near, batch.far, lights_dir, k_render,
+                                 cos_anneal_ratio=1.0, warmup=True)
+            abs_err += jnp.abs((out["color_fine"] - batch.rgb_warmup)
+                               * mask[None]).sum()
+            msum += mask.sum()
+            eik_n += out["gradient_error_num"]
+            eik_d += out["gradient_error_den"]
+            w = jnp.clip(out["weight_sum"], 1e-3, 1 - 1e-3)
+            bce += -(mask * jnp.log(w) + (1 - mask) * jnp.log(1 - w)).sum()
+        mask_sum = msum + 1e-5
+        return (abs_err / (mask_sum * 3)
+                + (eik_n / (eik_d + 1e-5)) * tcfg.igr_weight
+                + (bce / tcfg.batch_size) * tcfg.mask_weight)
+
+    loss_manual, grads_manual = jax.jit(
+        jax.value_and_grad(manual_loss))(state.params)
+    np.testing.assert_allclose(float(metrics["loss"]), float(loss_manual),
+                               rtol=2e-4)
+
+    opt = steplib.make_optimizer(tcfg)
+    updates, _ = opt.update(grads_manual, state.opt_state, state.params)
+    params_manual = optax.apply_updates(state.params, updates)
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                    jax.tree_util.tree_leaves(params_manual)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-6)
+
+
+def test_host_local_view_indices_cover_all_views():
+    """Single-process: the per-host loading plan must cover every device's
+    shard, and shards tile the padded view order."""
+    from rnb_tpu.parallel.data import host_local_view_indices, pad_views
+    mesh = meshlib.make_ray_mesh()
+    mine = host_local_view_indices(5, mesh)
+    assert mine == pad_views(5, 8)  # one process owns all 8 devices
+    assert set(mine) == set(range(5))
+
+
 def test_sharded_grid_matches_serial(statics, params):
     mesh = meshlib.make_ray_mesh()
     bmin, bmax = np.array([-1.0] * 3), np.array([1.0] * 3)

@@ -26,9 +26,13 @@ from rnb_tpu.utils import io  # noqa: E402
 
 
 def write_case(out_dir: str, n_views: int = 8, H: int = 128, W: int = 128,
-               radius: float = 0.4, seed: int = 0) -> str:
-    scene = ds.make_sphere_scene(n_views=n_views, H=H, W=W, radius=radius,
-                                 seed=seed)
+               radius: float = 0.4, seed: int = 0,
+               shape: str = "sphere") -> str:
+    if shape == "torus":
+        scene = ds.make_torus_scene(n_views=n_views, H=H, W=W, seed=seed)
+    else:
+        scene = ds.make_sphere_scene(n_views=n_views, H=H, W=W, radius=radius,
+                                     seed=seed)
     os.makedirs(out_dir, exist_ok=True)
 
     cams = {}
@@ -56,6 +60,8 @@ if __name__ == "__main__":
     ap.add_argument("--n_views", type=int, default=8)
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--radius", type=float, default=0.4)
+    ap.add_argument("--shape", default="sphere", choices=["sphere", "torus"])
     args = ap.parse_args()
-    path = write_case(args.out, args.n_views, args.size, args.size, args.radius)
+    path = write_case(args.out, args.n_views, args.size, args.size,
+                      args.radius, shape=args.shape)
     print(f"wrote synthetic case to {path}")
