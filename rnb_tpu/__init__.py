@@ -34,3 +34,14 @@ import jax as _jax
 _prec = _os.environ.get("RNB_MATMUL_PRECISION", "high")
 _jax.config.update("jax_default_matmul_precision", _prec)
 
+# Persistent compilation cache: the train-step program (Pallas kernels
+# included) costs 100-340 s to compile on this image's remote-compile
+# service; resume/validation/bench processes re-pay it without a cache.
+try:
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:  # older jaxlib without the knobs — cache is an optimization
+    pass
+

@@ -592,23 +592,50 @@ def sdf_grid_query(sdf_cfg, sdf_params, pts, negate: bool = True):
     return -v if negate else v
 
 
-_query_chunk = partial(jax.jit, static_argnums=(0, 3))(sdf_grid_query)
+def grid_chunk_points(start, chunk: int, bound_min, bound_max,
+                      resolution: int) -> jnp.ndarray:
+    """[chunk, 3] grid coordinates for flat indices [start, start+chunk),
+    computed ON DEVICE from the bounds — the host never materializes or
+    uploads the 512³×3 point cloud (1.6 GB; on a remote-TPU link that
+    upload, not the 134M MLP evals, would dominate extraction)."""
+    idx = start + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0]
+    bmin = jnp.asarray(bound_min, jnp.float32)
+    bmax = jnp.asarray(bound_max, jnp.float32)
+    r = resolution
+    ix, rem = idx // (r * r), idx % (r * r)
+    iy, iz = rem // r, rem % r
+    f = (bmax - bmin) / (r - 1)
+    return jnp.stack([bmin[0] + ix * f[0], bmin[1] + iy * f[1],
+                      bmin[2] + iz * f[2]], axis=-1)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _query_grid_chunk(sdf_cfg, sdf_params, start, chunk: int, resolution: int,
+                      negate: bool, bound_min=None, bound_max=None):
+    pts = grid_chunk_points(start, chunk, bound_min, bound_max, resolution)
+    v = sdf_grid_query(sdf_cfg, sdf_params, pts, negate)
+    # f16 halves the device->host fetch; iso-surface extraction only needs
+    # the sign structure near 0, where f16 error (~1e-4 of these O(1)
+    # values) is far below a 512-grid cell
+    return v.astype(jnp.float16)
 
 
 def extract_fields(statics: ModelStatics, params, bound_min, bound_max,
                    resolution: int, chunk: int = 64 ** 3, negate: bool = True):
     """Evaluate (-sdf) on a dense grid in fixed-size chunks
     (`renderer.py:10-25`; the sign binding is `renderer.py:1219-1224`).
-    Single-device path; the sharded version lives in rnb_tpu.parallel.grid."""
+    Points are generated on device and results fetched as f16 (see
+    grid_chunk_points). Single-device path; the sharded version lives in
+    rnb_tpu.parallel.grid."""
     import numpy as np
-    pts = np.asarray(make_grid_points(bound_min, bound_max, resolution)).reshape(-1, 3)
-    total = pts.shape[0]
+    total = resolution ** 3
+    bmin = tuple(float(x) for x in np.asarray(bound_min).reshape(-1))
+    bmax = tuple(float(x) for x in np.asarray(bound_max).reshape(-1))
     out = np.empty((total,), dtype=np.float32)
     for start in range(0, total, chunk):
-        block = pts[start:start + chunk]
-        pad = chunk - block.shape[0]
-        if pad:
-            block = np.concatenate([block, np.zeros((pad, 3), np.float32)], axis=0)
-        vals = _query_chunk(statics.sdf, params["sdf"], jnp.asarray(block), negate)
-        out[start:start + chunk - pad] = np.asarray(vals)[:chunk - pad]
+        n = min(chunk, total - start)
+        vals = _query_grid_chunk(statics.sdf, params["sdf"],
+                                 jnp.asarray(start, jnp.int32), chunk,
+                                 resolution, negate, bmin, bmax)
+        out[start:start + n] = np.asarray(vals[:n], np.float32)
     return out.reshape(resolution, resolution, resolution)

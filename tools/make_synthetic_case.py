@@ -21,6 +21,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# scene synthesis is pure host work; forcing CPU avoids shipping the maps
+# through the (slow) remote-TPU tunnel just to read them back for PNG writes
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 from rnb_tpu.data import dataset as ds  # noqa: E402
 from rnb_tpu.utils import io  # noqa: E402
 
