@@ -158,10 +158,20 @@ def synth_images(arrays: DataArrays, view_idx):
 # ---------------------------------------------------------------------------
 
 class Dataset:
-    """Owns the device arrays + host-side camera matrices and bbox."""
+    """Owns the device arrays + host-side camera matrices and bbox.
+
+    upload_quantized: ship the maps to the device as uint16 (normals/albedo)
+    and uint8 (masks) and decode to f32 on device — 2.2× less host→device
+    traffic. EXACTLY lossless for PNG-sourced data (the float values are
+    already k/65535 grid points, and masks are binary); `from_conf` turns it
+    on. Matters because remote-TPU links can be upload-bound (~0.03 MB/s
+    measured through this image's tunnel: a 63 MB DiLiGenT-scale dataset
+    would otherwise cost ~35 min of every process launch).
+    """
 
     def __init__(self, normals_np, albedos_np, masks_np, world_mats, scale_mats,
-                 object_scale_mat=None, no_albedo: bool = False):
+                 object_scale_mat=None, no_albedo: bool = False,
+                 upload_quantized: bool = False):
         self.no_albedo = bool(no_albedo or albedos_np is None)
         self.n_images, self.H, self.W = masks_np.shape[:3]
         self.n_lights = lights.N_LIGHTS
@@ -184,10 +194,30 @@ class Dataset:
         if self.no_albedo:
             albedos_np = np.ones_like(normals_np)
 
+        if upload_quantized:
+            n16 = np.rint(np.clip((np.asarray(normals_np) + 1.0) * 0.5, 0, 1)
+                          * 65535.0).astype(np.uint16)
+            a16 = np.rint(np.clip(np.asarray(albedos_np), 0, 1)
+                          * 65535.0).astype(np.uint16)
+            m8 = (np.asarray(masks_np) > 0.5).astype(np.uint8)
+
+            @jax.jit
+            def _decode(n, a, m):
+                return (n.astype(jnp.float32) / 65535.0 * 2.0 - 1.0,
+                        a.astype(jnp.float32) / 65535.0,
+                        m.astype(jnp.float32))
+
+            normals_d, albedos_d, masks_d = _decode(
+                jnp.asarray(n16), jnp.asarray(a16), jnp.asarray(m8))
+        else:
+            normals_d = jnp.asarray(normals_np, jnp.float32)
+            albedos_d = jnp.asarray(albedos_np, jnp.float32)
+            masks_d = jnp.asarray(masks_np, jnp.float32)
+
         self.arrays = DataArrays(
-            normals=jnp.asarray(normals_np, jnp.float32),
-            albedos=jnp.asarray(albedos_np, jnp.float32),
-            masks=jnp.asarray(masks_np, jnp.float32),
+            normals=normals_d,
+            albedos=albedos_d,
+            masks=masks_d,
             intrinsics_inv=jnp.asarray(np.linalg.inv(intrinsics_all), jnp.float32),
             pose_all=jnp.asarray(pose_all, jnp.float32),
             lights_warmup_world=jnp.asarray(lights_warmup_world, jnp.float32),
@@ -239,7 +269,8 @@ class Dataset:
             os.path.join(data_dir, object_cameras_name))["scale_mat_0"]
 
         ds = cls(normals_np, albedos_np, masks_np, world_mats, scale_mats,
-                 object_scale_mat=object_scale_mat, no_albedo=no_albedo)
+                 object_scale_mat=object_scale_mat, no_albedo=no_albedo,
+                 upload_quantized=True)
         ds.normal_files = normal_files
         return ds
 

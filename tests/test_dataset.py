@@ -211,3 +211,40 @@ def test_gen_rays_at_grid(sphere_ds):
     assert rays_o.shape == (24, 24, 3)
     dn = np.linalg.norm(np.asarray(rays_d), axis=-1)
     np.testing.assert_allclose(dn, 1.0, atol=1e-5)
+
+
+def test_quantized_upload_lossless_for_png_data(tmp_path):
+    """upload_quantized must round-trip PNG-sourced data exactly: values that
+    came from 16-bit PNGs are k/65535 grid points and masks are binary."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.make_synthetic_case import write_case
+    from rnb_tpu import config as cfglib
+
+    case = write_case(str(tmp_path / "case"), n_views=2, H=24, W=24)
+    conf = cfglib.parse_string(
+        'data_dir = %s\nrender_cameras_name = cameras.npz\n'
+        'object_cameras_name = cameras.npz\nalbedo_dir = albedo\n' % case)
+    from rnb_tpu.data import dataset as dslib
+    d_q = dslib.Dataset.from_conf(conf)
+    # reload without quantization by re-reading the same files
+    from glob import glob
+    from rnb_tpu.utils import io
+    masks = np.stack([io.load_mask(p)
+                      for p in sorted(glob(os.path.join(case, "mask/*.png")))])
+    normals = np.stack([io.load_normal(p)
+                        for p in sorted(glob(os.path.join(case,
+                                                          "normal/*.png")))])
+    albedos = np.stack([io.load_image(p)
+                        for p in sorted(glob(os.path.join(case,
+                                                          "albedo/*.png")))])
+    cams = np.load(os.path.join(case, "cameras.npz"))
+    wm = [cams[f"world_mat_{i}"] for i in range(2)]
+    sm = [cams[f"scale_mat_{i}"] for i in range(2)]
+    d_f = dslib.Dataset(normals, albedos, masks, wm, sm, upload_quantized=False)
+    np.testing.assert_allclose(np.asarray(d_q.arrays.normals),
+                               np.asarray(d_f.arrays.normals), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(d_q.arrays.albedos),
+                               np.asarray(d_f.arrays.albedos), atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(d_q.arrays.masks),
+                                  np.asarray(d_f.arrays.masks))
