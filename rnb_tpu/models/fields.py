@@ -19,9 +19,12 @@ Parity-critical details preserved:
     layer 4, viewdirs head (feature -> cat views -> W/2 -> rgb).
   * SingleVarianceNetwork (`fields.py:317-325`): scalar param, inv_s=exp(10v).
 
-∇SDF is computed by the renderer with one batched jax.vjp over the whole sample
-batch (one forward + one reverse sweep, differentiable again for the eikonal
-term) — replacing torch's per-call double backprop (`fields.py:114-127`).
+∇SDF: the renderer's production path is the fused Pallas core
+(ops/pallas_sdf_core); this module provides the XLA implementations — a
+batched jax.vjp (sdf_value_feat_grad, re-differentiable for the eikonal
+term; the off-TPU fallback) and a forward-mode variant
+(sdf_value_feat_grad_fwd, kept for study) — replacing torch's per-call
+double backprop (`fields.py:114-127`).
 
 Weight layout: ``W`` is stored [in, out] so apply is ``x @ W + b`` (row-major
 batch onto the MXU). Weight-norm layers store ``{v: [in,out], g: [out], b}``

@@ -3,18 +3,20 @@
 Re-designs `/root/reference/models/renderer.py` as pure jit-compilable
 functions with static shapes:
 
-  * `sample_pdf` — inverse-CDF importance sampling (`renderer.py:39-69`),
-    vmapped searchsorted instead of torch.gather gymnastics.
+  * `sample_pdf` — inverse-CDF importance sampling (`renderer.py:39-69`) as
+    dense comparison-count + one-hot contractions (searchsorted/gather
+    formulations lower to per-element loops on TPU — see the fn docstring).
   * `up_sample` / `cat_z_vals` — NeuS hierarchical up-sampling
     (`renderer.py:132-192`); the 4 rounds run unrolled under stop_gradient
     with static widths 64→80→96→112→128, so XLA compiles one fixed program
-    (no data-dependent shapes). Merge-sort of z-values uses `jnp.sort` +
-    `take_along_axis`.
+    (no data-dependent shapes). The merge of the two per-row SORTED z lists
+    is rank-based (`_merge_sorted`), not a sort.
   * `render_core_mvps` — the hot training integrator (`renderer.py:466-554`):
     sigmoid-SDF alpha from section-estimated SDFs, cos-annealing, sphere
     masks, transmittance via exclusive cumprod, eikonal error over the
-    relaxed sphere. ∇SDF comes from one batched vjp (see fields.py), not a
-    per-point double-backprop.
+    relaxed sphere. ∇SDF comes from the fused Pallas core
+    (ops/pallas_sdf_core, `core_impl='pallas'`) on TPU, or a batched vjp
+    off-TPU — never a per-point double-backprop.
   * `render_rnb` / `render_rnb_warmup` — per-light Lambertian compositing
     (`renderer.py:828-1033`): warm-up shades with ReLU(n·l) under fixed
     lights; the main phase omits the ReLU because per-pixel virtual lights

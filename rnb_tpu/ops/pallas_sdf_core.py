@@ -293,11 +293,18 @@ def _run_fwd(cfg: SDFConfig, flat, interpret: bool, dtype):
         jax.ShapeDtypeStruct((n, d_out - 1), jnp.float32),
         jax.ShapeDtypeStruct((n, 3), jnp.float32),
     ]
+    kwargs = {}
+    if not interpret:
+        # fwd grid steps are independent (disjoint output blocks) — let
+        # Mosaic pipeline them; the bwd kernel accumulates dW across steps
+        # and must stay sequential
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel",))
     return pl.pallas_call(
         functools.partial(_fwd_kernel, cfg, n_layers, dtype),
         grid=(n // FWD_BLOCK,),
         in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
-        interpret=interpret,
+        interpret=interpret, **kwargs,
     )(pts_pad, *weights, *biases)
 
 
