@@ -171,7 +171,7 @@ class Dataset:
 
     def __init__(self, normals_np, albedos_np, masks_np, world_mats, scale_mats,
                  object_scale_mat=None, no_albedo: bool = False,
-                 upload_quantized: bool = False):
+                 upload_quantized: bool = False, device_arrays: bool = True):
         self.no_albedo = bool(no_albedo or albedos_np is None)
         self.n_images, self.H, self.W = masks_np.shape[:3]
         self.n_lights = lights.N_LIGHTS
@@ -194,7 +194,13 @@ class Dataset:
         if self.no_albedo:
             albedos_np = np.ones_like(normals_np)
 
-        if upload_quantized:
+        if not device_arrays:
+            # host-side container (the multi-host assembler places arrays
+            # itself via make_array_from_process_local_data)
+            normals_d = np.asarray(normals_np, np.float32)
+            albedos_d = np.asarray(albedos_np, np.float32)
+            masks_d = np.asarray(masks_np, np.float32)
+        elif upload_quantized:
             n16 = np.rint(np.clip((np.asarray(normals_np) + 1.0) * 0.5, 0, 1)
                           * 65535.0).astype(np.uint16)
             a16 = np.rint(np.clip(np.asarray(albedos_np), 0, 1)
@@ -214,13 +220,15 @@ class Dataset:
             albedos_d = jnp.asarray(albedos_np, jnp.float32)
             masks_d = jnp.asarray(masks_np, jnp.float32)
 
+        _place = (jnp.asarray if device_arrays
+                  else (lambda a, d=None: np.asarray(a, np.float32)))
         self.arrays = DataArrays(
             normals=normals_d,
             albedos=albedos_d,
             masks=masks_d,
-            intrinsics_inv=jnp.asarray(np.linalg.inv(intrinsics_all), jnp.float32),
-            pose_all=jnp.asarray(pose_all, jnp.float32),
-            lights_warmup_world=jnp.asarray(lights_warmup_world, jnp.float32),
+            intrinsics_inv=_place(np.linalg.inv(intrinsics_all), jnp.float32),
+            pose_all=_place(pose_all, jnp.float32),
+            lights_warmup_world=_place(lights_warmup_world, jnp.float32),
         )
         self.intrinsics_all = intrinsics_all
         self.pose_all_np = pose_all
@@ -238,8 +246,18 @@ class Dataset:
     # -- constructors --------------------------------------------------------
 
     @classmethod
-    def from_conf(cls, conf, no_albedo: bool = False) -> "Dataset":
-        """Disk loader matching `dataset.py:99-253` (IDR layout)."""
+    def from_conf(cls, conf, no_albedo: bool = False,
+                  view_subset: list[int] | None = None,
+                  device_arrays: bool = True) -> "Dataset":
+        """Disk loader matching `dataset.py:99-253` (IDR layout).
+
+        view_subset: load ONLY these global view indices (in order, repeats
+        allowed) — the per-host loading path for view-sharded multi-host
+        training (parallel.data.host_local_view_indices gives each process
+        its list); no host ever materializes the full dataset.
+        device_arrays=False skips the device upload (the multi-host
+        assembler places the arrays itself).
+        """
         data_dir = conf.get_string("data_dir")
         normal_dir = conf.get_string("normal_dir", default="normal")
         albedo_dir = conf.get_string("albedo_dir", default="")
@@ -252,26 +270,33 @@ class Dataset:
         camera_dict = np.load(os.path.join(data_dir, render_cameras_name))
 
         mask_files = sorted(glob(os.path.join(data_dir, mask_dir, "*.png")))
-        masks_np = np.stack([io.load_mask(p) for p in mask_files])
         normal_files = sorted(glob(os.path.join(data_dir, normal_dir, "*.png")))
-        normals_np = np.stack([io.load_normal(p) for p in normal_files])
+        albedo_files = (sorted(glob(os.path.join(data_dir, albedo_dir,
+                                                 "*.png")))
+                        if not no_albedo else [])
+        sel = (list(view_subset) if view_subset is not None
+               else list(range(len(mask_files))))
+
+        masks_np = np.stack([io.load_mask(mask_files[i]) for i in sel])
+        normals_np = np.stack([io.load_normal(normal_files[i]) for i in sel])
         albedos_np = None
         if not no_albedo:
-            albedo_files = sorted(glob(os.path.join(data_dir, albedo_dir, "*.png")))
-            albedos_np = np.stack([io.load_image(p) for p in albedo_files])
+            albedos_np = np.stack([io.load_image(albedo_files[i])
+                                   for i in sel])
 
-        n_images = masks_np.shape[0]
         world_mats = [camera_dict[f"world_mat_{i}"].astype(np.float32)
-                      for i in range(n_images)]
+                      for i in sel]
         scale_mats = [camera_dict[f"scale_mat_{i}"].astype(np.float32)
-                      for i in range(n_images)]
+                      for i in sel]
         object_scale_mat = np.load(
             os.path.join(data_dir, object_cameras_name))["scale_mat_0"]
 
         ds = cls(normals_np, albedos_np, masks_np, world_mats, scale_mats,
                  object_scale_mat=object_scale_mat, no_albedo=no_albedo,
-                 upload_quantized=True)
-        ds.normal_files = normal_files
+                 upload_quantized=True, device_arrays=device_arrays)
+        ds.normal_files = [normal_files[i] for i in sel]
+        ds.global_view_indices = sel
+        ds.n_images_global = len(mask_files)
         return ds
 
     # -- host-side helpers (validation only) ---------------------------------

@@ -65,6 +65,31 @@ def shard_views(arrays: DataArrays, mesh: Mesh) -> DataArrays:
         jax.device_put(np.asarray(leaf)[order], sharding) for leaf in arrays])
 
 
+def load_view_sharded_dataset(conf, mesh: Mesh, no_albedo: bool = False):
+    """THE multi-host data path: this process loads ONLY its devices' view
+    files, then the global view-sharded DataArrays is assembled across
+    processes. Returns (local Dataset, global sharded DataArrays).
+
+    Works identically single-process (then it is just shard_views with
+    lazy loading)."""
+    import numpy as np
+    from rnb_tpu.data.dataset import Dataset
+
+    # count global views from cameras.npz without loading any images
+    import os
+    data_dir = conf.get_string("data_dir")
+    cams = np.load(os.path.join(data_dir,
+                                conf.get_string("render_cameras_name")))
+    n_views_global = len([k for k in cams.files
+                          if k.startswith("world_mat_")])
+
+    mine = host_local_view_indices(n_views_global, mesh)
+    local = Dataset.from_conf(conf, no_albedo=no_albedo, view_subset=mine,
+                              device_arrays=False)
+    arrays = assemble_from_host_shards(local.arrays, n_views_global, mesh)
+    return local, arrays
+
+
 def assemble_from_host_shards(local_arrays: DataArrays, n_views_global: int,
                               mesh: Mesh) -> DataArrays:
     """Multi-host: build the globally view-sharded DataArrays from arrays
