@@ -297,7 +297,16 @@ def apply_override(conf: Config, override: str) -> None:
     if "=" not in override:
         raise ValueError(f"override must be 'dotted.path=value', got {override!r}")
     path, _, raw = override.partition("=")
-    conf[path.strip()] = _coerce(raw)
+    path = path.strip()
+    if path not in conf:
+        # loud, not fatal: new keys are legitimate (runtime knobs absent
+        # from older confs), but a typo'd override would otherwise silently
+        # train with defaults
+        import logging
+        logging.getLogger(__name__).warning(
+            "--set %s creates a NEW conf key (not present in the conf file) "
+            "— check for typos if an existing value was meant", path)
+    conf[path] = _coerce(raw)
 
 
 def load_conf(path: str, case: str = "") -> Config:

@@ -398,6 +398,12 @@ class NeRFConfig:
 
 
 def init_nerf(key, cfg: NeRFConfig) -> Dict[str, Any]:
+    # a skip at the final pts layer would leave h at W+input_ch entering the
+    # alpha/feature heads (which expect W) — invalid in the reference
+    # architecture too (`fields.py:246-252`); fail at init, not with a
+    # cryptic shape error mid-train
+    assert not cfg.skips or max(cfg.skips) < cfg.D - 1, (
+        f"nerf skips {cfg.skips} must be < D-1 = {cfg.D - 1}")
     keys = jax.random.split(key, cfg.D + 4)
     pts_layers = [_torch_default_linear(keys[0], cfg.input_ch, cfg.W)]
     for i in range(cfg.D - 1):

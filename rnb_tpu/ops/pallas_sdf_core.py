@@ -345,7 +345,11 @@ def _run_bwd(cfg: SDFConfig, flat, interpret: bool, dtype):
 # public op with custom VJP over the dense (folded) weights
 # ---------------------------------------------------------------------------
 
-BLOCK = max(FWD_BLOCK, BWD_BLOCK)  # padding granularity (tests import this)
+# padding granularity (tests import this): the lcm, so padded point counts
+# divide evenly into BOTH kernels' grids — with max() alone, env-set
+# FWD/BWD blocks that don't divide each other would leave a tail block the
+# smaller-grid kernel never computes (silent garbage outputs)
+BLOCK = math.lcm(FWD_BLOCK, BWD_BLOCK)
 
 
 def _pad_pts(pts):

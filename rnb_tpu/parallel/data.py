@@ -76,12 +76,15 @@ def load_view_sharded_dataset(conf, mesh: Mesh, no_albedo: bool = False):
     from rnb_tpu.data.dataset import Dataset
 
     # count global views from cameras.npz without loading any images
+    # (fullmatch, not a prefix test: IDR-style files can also carry keys
+    # like 'world_mat_inv_0' which would inflate the count)
     import os
+    import re
     data_dir = conf.get_string("data_dir")
     cams = np.load(os.path.join(data_dir,
                                 conf.get_string("render_cameras_name")))
     n_views_global = len([k for k in cams.files
-                          if k.startswith("world_mat_")])
+                          if re.fullmatch(r"world_mat_\d+", k)])
 
     mine = host_local_view_indices(n_views_global, mesh)
     local = Dataset.from_conf(conf, no_albedo=no_albedo, view_subset=mine,
@@ -97,6 +100,17 @@ def assemble_from_host_shards(local_arrays: DataArrays, n_views_global: int,
     n_dev = mesh.devices.size
     total = len(pad_views(n_views_global, n_dev))
     sharding = NamedSharding(mesh, P(RAY_AXIS))
+    # make_array_from_process_local_data lays local rows out over THIS
+    # process's device positions in mesh order; host_local_view_indices
+    # assumed those positions are a contiguous ascending run of
+    # mesh.devices.flat — verify, or views would silently permute across
+    # hosts on exotic mesh layouts
+    mine_pos = [i for i, d in enumerate(mesh.devices.flat)
+                if d.process_index == jax.process_index()]
+    assert mine_pos == list(range(mine_pos[0], mine_pos[0] + len(mine_pos))), (
+        "this process's devices are not contiguous in mesh.devices.flat; "
+        f"positions={mine_pos} — build the mesh with per-process device "
+        "blocks (jax.devices() order) before view-sharded loading")
     out = []
     for leaf in local_arrays:
         local = np.asarray(leaf)

@@ -179,9 +179,18 @@ class Runner:
         t_report = time.time()
         rays_done = 0
         self._report_rps = 0.0
+        self._rps_at = {}           # report-step -> rays/s measured AT that
+        #                             step (ring consumption logs up to RING
+        #                             steps later; without the pairing the
+        #                             throughput row would be attributed to
+        #                             the live step's value)
         ring = steplib.new_metrics_ring(self.RING)
         ring_start = it             # newest step already consumed/logged
         self._last_snap = it
+        # seed the confirmed-good snapshot immediately: a NaN before the
+        # first periodic refresh (>=2000 steps in) would otherwise leave
+        # only the poisoned live dump for restarts
+        self._snap_good = (it, jax.device_get(self.state))
 
         # tracing/profiling (SURVEY.md §5: the reference has none; we expose
         # jax.profiler traces of a step window via env vars)
@@ -212,6 +221,7 @@ class Runner:
                 if it % self.tcfg.report_freq == 0:
                     dt = time.time() - t_report
                     self._report_rps = rays_done / max(dt, 1e-9)
+                    self._rps_at[it] = self._report_rps
                     t_report, rays_done = time.time(), 0
                 if it % self.RING == 0:
                     ring_start = self._consume_ring(ring, ring_start, it)
@@ -274,7 +284,7 @@ class Runner:
                 "lr": m["lr"],
             })
             if s % self.tcfg.report_freq == 0:
-                rps = self._report_rps
+                rps = self._rps_at.pop(s, self._report_rps)
                 self.writer.log(s, {"Perf/rays_per_s": rps})
                 print(f"iter:{s:8d} loss={m['loss']:.5f} "
                       f"color={m['color_loss']:.5f} "
@@ -293,9 +303,29 @@ class Runner:
     # -- checkpointing --------------------------------------------------------
 
     def save_checkpoint(self):
+        # NaN detection trails the live step by up to RING steps (metrics
+        # ring), so a scheduled save could otherwise persist non-finite
+        # params that --is_continue would resume from; one device-side
+        # all-finite reduction guards every write (a single bool fetch,
+        # amortized over save_freq steps)
+        if not self._params_finite():
+            logger.error("skipping checkpoint at iter %d: non-finite params "
+                         "(the NaN guard will fire on the next ring fetch)",
+                         self.iter_step)
+            return
         path = ckptlib.checkpoint_path(
             os.path.join(self.base_exp_dir, "checkpoints"), self.iter_step)
         ckptlib.save_checkpoint(path, self.state)
+
+    def _params_finite(self) -> bool:
+        if not hasattr(self, "_finite_fn"):
+            @jax.jit
+            def all_finite(params):
+                leaves = jax.tree_util.tree_leaves(params)
+                return jnp.all(jnp.stack(
+                    [jnp.all(jnp.isfinite(l)) for l in leaves]))
+            self._finite_fn = all_finite
+        return bool(self._finite_fn(self.state.params))
 
     def load_checkpoint(self, path: str):
         self.state = ckptlib.load_checkpoint(path, self.state)

@@ -77,6 +77,14 @@ def train_conf(conf) -> TrainConfig:
         return resolve_runtime_flags(TrainConfig())
     d = dict(conf["train"].as_dict())
     known = {f.name for f in dataclasses.fields(TrainConfig)}
+    unknown = sorted(set(d) - known)
+    if unknown:
+        # loud, not fatal: a typo'd train.* key would otherwise silently
+        # fall back to the schema default
+        import logging
+        logging.getLogger(__name__).warning(
+            "ignoring unknown train conf keys %s (not in the TrainConfig "
+            "schema — check for typos)", unknown)
     return resolve_runtime_flags(
         TrainConfig(**{k: v for k, v in d.items() if k in known}))
 

@@ -84,3 +84,37 @@ def test_shipped_confs_parse():
         assert conf.get_int("train.end_iter") > 0
         assert "model.sdf_network" in conf
         assert "CASE_NAME" not in conf.get_string("dataset.data_dir")
+
+
+def test_override_unknown_key_warns(caplog):
+    """A typo'd --set path must warn loudly instead of silently training
+    with defaults (VERDICT r3 weak #7)."""
+    import logging
+
+    from rnb_tpu import config as cfglib
+
+    conf = cfglib.parse_string("train { end_iter = 100 }")
+    with caplog.at_level(logging.WARNING, logger="rnb_tpu.config"):
+        cfglib.apply_override(conf, "train.end_itr=200")  # typo
+    assert any("NEW conf key" in r.message for r in caplog.records)
+    # the correct key path stays silent
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="rnb_tpu.config"):
+        cfglib.apply_override(conf, "train.end_iter=200")
+    assert not any("NEW conf key" in r.message for r in caplog.records)
+    assert conf["train.end_iter"] == 200
+
+
+def test_train_conf_unknown_key_warns(caplog):
+    import logging
+
+    from rnb_tpu import config as cfglib
+    from rnb_tpu.train import step as steplib
+
+    conf = cfglib.parse_string(
+        "train { end_iter = 100\nbatch_sise = 17 }")  # typo'd key
+    with caplog.at_level(logging.WARNING, logger="rnb_tpu.train.step"):
+        tcfg = steplib.train_conf(conf)
+    assert tcfg.end_iter == 100
+    assert tcfg.batch_size == 512  # schema default kept
+    assert any("batch_sise" in r.message for r in caplog.records)

@@ -146,3 +146,59 @@ def test_compare_images_tool(tmp_path):
     io.save_image(str(tmp_path / "b.png"), a, bit_depth=16)
     mse, psnr = compare_pair(str(tmp_path / "a.png"), str(tmp_path / "b.png"))
     assert mse < 1e-7 and psnr > 60
+
+
+def test_organize_data_view_layout(tmp_path):
+    """`--layout view` (DiLiGenT-MV style): files directly under each view
+    folder, SDM outputs in SDM_out/ — the exact entry path of a real
+    DiLiGenT parity run (reference organizer:
+    `/root/reference/cheminova/organize_DiLiGenT-MV_to_RNB.py`)."""
+    from organize_data import organize
+    from rnb_tpu.utils import io
+
+    src = tmp_path / "diligent"
+    rng = np.random.default_rng(0)
+    # natural sort must order view_2 before view_10
+    names = ["view_1", "view_2", "view_10"]
+    for v in names:
+        (src / v / "SDM_out").mkdir(parents=True)
+        io.save_image(str(src / v / "mask.png"), np.ones((8, 8, 3)))
+        io.save_image(str(src / v / "SDM_out" / "normal.png"),
+                      rng.uniform(size=(8, 8, 3)))
+        io.save_image(str(src / v / "SDM_out" / "baseColor.png"),
+                      rng.uniform(size=(8, 8, 3)))
+    np.savez(str(src / "view_1" / "cameras.npz"),
+             world_mat_0=np.eye(4), scale_mat_0=np.eye(4))
+
+    out = tmp_path / "out"
+    n = organize(str(src), str(out), layout="view")
+    assert n == 3
+    for kind in ("mask", "normal", "albedo"):
+        got = sorted(os.listdir(out / kind))
+        assert got == ["000.png", "001.png", "002.png"], (kind, got)
+    assert (out / "cameras.npz").exists()
+    # index 2 must be view_10 (natural order), i.e. its normal content
+    a = io.load_image(str(out / "normal" / "002.png"))
+    b = io.load_image(str(src / "view_10" / "SDM_out" / "normal.png"))
+    assert np.allclose(a, b, atol=1e-3)
+
+
+def test_organize_data_rti_layout(tmp_path):
+    """`--layout rti` (lab capture layout): an 'rti' folder nested inside
+    each view holds mask + SDM_out."""
+    from organize_data import organize
+    from rnb_tpu.utils import io
+
+    src = tmp_path / "lab"
+    for i in range(2):
+        base = src / f"pos{i}" / "nested" / "rti"
+        (base / "SDM_out").mkdir(parents=True)
+        io.save_image(str(base / "mask.png"), np.ones((8, 8, 3)))
+        io.save_image(str(base / "SDM_out" / "normal.png"),
+                      np.ones((8, 8, 3)) * 0.5)
+        io.save_image(str(base / "SDM_out" / "baseColor.png"),
+                      np.ones((8, 8, 3)) * 0.25)
+    out = tmp_path / "out"
+    n = organize(str(src), str(out), layout="rti")
+    assert n == 2
+    assert sorted(os.listdir(out / "mask")) == ["000.png", "001.png"]
