@@ -44,6 +44,7 @@ def extract_fields_sharded(statics: ModelStatics, params, bound_min, bound_max,
     total = resolution ** 3
     # chunk must divide evenly across devices
     chunk = max(n_dev, (chunk // n_dev) * n_dev)
+    multihost = jax.process_count() > 1
     out = np.empty((total,), np.float32)
     start = 0
     while start < total:
@@ -51,6 +52,16 @@ def extract_fields_sharded(statics: ModelStatics, params, bound_min, bound_max,
         vals = eval_chunk(statics.sdf, params_repl,
                           jnp.asarray(start, jnp.int32), chunk, resolution,
                           negate, bmin, bmax)
-        out[start:start + n] = np.asarray(vals[:n], np.float32)
+        if multihost:
+            # each process holds only its devices' slices; allgather the
+            # full chunk so every process can polygonize (collective — all
+            # processes reach here in lockstep)
+            from jax.experimental import multihost_utils
+            vals_np = np.asarray(
+                multihost_utils.process_allgather(vals, tiled=True),
+                np.float32)
+        else:
+            vals_np = np.asarray(vals, np.float32)
+        out[start:start + n] = vals_np[:n]
         start += n
     return out.reshape(resolution, resolution, resolution)

@@ -57,23 +57,14 @@ class Runner:
         self.base_exp_dir = self.conf.get_string("general.base_exp_dir")
         os.makedirs(self.base_exp_dir, exist_ok=True)
 
-        if dataset_override is not None:
-            self.dataset = dataset_override
-        else:
-            self.dataset = ds.Dataset.from_conf(self.conf["dataset"], no_albedo)
-        self.no_albedo = self.dataset.no_albedo
-
         self.tcfg = steplib.train_conf(self.conf)
         self.rcfg = steplib.apply_runtime_flags(
             rnd.renderer_conf(self.conf["model"]), self.tcfg)
         self.statics = fields.statics_from_conf(self.conf["model"])
 
-        params = fields.init_model_bundle(jax.random.PRNGKey(seed), self.statics)
-        self.state = steplib.init_train_state(params, self.tcfg)
-        self.base_key = jax.random.PRNGKey(seed + 1)
-        self._host_rng = np.random.default_rng(seed)
-
-        # sharding decision (greenfield vs reference single-GPU)
+        # sharding decision (greenfield vs reference single-GPU) — made
+        # BEFORE dataset loading so the multi-host path can load per-host
+        # view shards instead of the full dataset
         self.mesh = None
         if shard == "auto" and len(jax.devices()) > 1:
             n = len(jax.devices())
@@ -81,19 +72,45 @@ class Runner:
                 self.mesh = meshlib.make_ray_mesh()
         elif isinstance(shard, int) and shard > 1:
             self.mesh = meshlib.make_ray_mesh(shard)
+        self.view_shard = bool(self.tcfg.view_shard and self.mesh is not None)
+        self._is_chief = jax.process_index() == 0
 
         # dataset placement: replicated, or view-sharded over the mesh
-        # (train.view_shard conf key; parallel/data.py)
-        self.view_shard = bool(self.tcfg.view_shard and self.mesh is not None)
-        if self.view_shard:
-            from rnb_tpu.parallel.data import pad_views, shard_views
+        # (train.view_shard conf key; parallel/data.py). Multi-host
+        # view-sharded runs go through the per-host loader: each process
+        # reads from disk ONLY the views its devices own — no host ever
+        # materializes the full dataset (self.dataset then holds the local
+        # views; validation below indexes into it locally).
+        from rnb_tpu.parallel.data import pad_views
+        if dataset_override is not None:
+            self.dataset = dataset_override
+        elif self.view_shard and jax.process_count() > 1:
+            from rnb_tpu.parallel.data import load_view_sharded_dataset
+            self.dataset, arrays = load_view_sharded_dataset(
+                self.conf["dataset"], self.mesh, no_albedo)
+            self._train_arrays = arrays
+            self._n_view_slots = (len(pad_views(self.dataset.n_images_global,
+                                                self.mesh.devices.size))
+                                  // self.mesh.devices.size)
+        else:
+            self.dataset = ds.Dataset.from_conf(self.conf["dataset"],
+                                                no_albedo)
+        self.no_albedo = self.dataset.no_albedo
+
+        if self.view_shard and not hasattr(self, "_train_arrays"):
+            from rnb_tpu.parallel.data import shard_views
             self._train_arrays = shard_views(self.dataset.arrays, self.mesh)
             self._n_view_slots = (len(pad_views(self.dataset.n_images,
                                                 self.mesh.devices.size))
                                   // self.mesh.devices.size)
-        else:
+        elif not self.view_shard:
             self._train_arrays = self.dataset.arrays
             self._n_view_slots = self.dataset.n_images
+
+        params = fields.init_model_bundle(jax.random.PRNGKey(seed), self.statics)
+        self.state = steplib.init_train_state(params, self.tcfg)
+        self.base_key = jax.random.PRNGKey(seed + 1)
+        self._host_rng = np.random.default_rng(seed)
 
         self._step_fns = {}
         self._chunk_render_fns = {}
@@ -112,7 +129,7 @@ class Runner:
                 logger.info("Find checkpoint: %s", os.path.basename(latest))
                 self.load_checkpoint(latest)
 
-        if mode.startswith("train"):
+        if mode.startswith("train") and self._is_chief:
             self.file_backup()
 
     # -- properties -----------------------------------------------------------
@@ -165,8 +182,12 @@ class Runner:
     RING = 64
 
     def train_rnb(self):
-        """The training loop (`exp_runner.py:156-306`)."""
-        self.writer = ScalarLogger(os.path.join(self.base_exp_dir, "logs"))
+        """The training loop (`exp_runner.py:156-306`). Multi-process: every
+        process executes the same SPMD step/extraction programs in lockstep
+        (collectives require all participants); host-side FILE writes
+        (scalars, checkpoints, meshes, validation images) are chief-only."""
+        self.writer = ScalarLogger(os.path.join(self.base_exp_dir, "logs"),
+                                   enabled=self._is_chief)
         self.writer.meta({"conf": self.conf_path, "overrides": self.overrides,
                           "flags": steplib.runtime_flags_dict(self.tcfg),
                           "jax_backend": jax.default_backend()})
@@ -283,7 +304,7 @@ class Runner:
                 "Statistics/psnr": m["psnr"],
                 "lr": m["lr"],
             })
-            if s % self.tcfg.report_freq == 0:
+            if s % self.tcfg.report_freq == 0 and self._is_chief:
                 rps = self._rps_at.pop(s, self._report_rps)
                 self.writer.log(s, {"Perf/rays_per_s": rps})
                 print(f"iter:{s:8d} loss={m['loss']:.5f} "
@@ -303,6 +324,8 @@ class Runner:
     # -- checkpointing --------------------------------------------------------
 
     def save_checkpoint(self):
+        if not self._is_chief:
+            return  # replicated state; one writer is enough
         # NaN detection trails the live step by up to RING steps (metrics
         # ring), so a scheduled save could otherwise persist non-finite
         # params that --is_continue would resume from; one device-side
@@ -427,6 +450,14 @@ class Runner:
             idv = int(self._host_rng.integers(self.dataset.n_images))
         if idl < 0:
             idl = int(self._host_rng.integers(self.dataset.n_lights))
+        if not self._is_chief:
+            # pure per-process host/device work with no collectives; only the
+            # chief's files would be kept, so skip entirely (the _host_rng
+            # draws above keep the chief/non-chief RNG streams aligned).
+            # Multi-host note: self.dataset holds this process's LOCAL view
+            # shard, so idv indexes local views — exactly what _render_view
+            # and the GT fetchers expect.
+            return None, None
         if resolution_level < 0:
             resolution_level = self.tcfg.validate_resolution_level
         warmup = self.iter_step < self.tcfg.warm_up_iter
@@ -456,6 +487,8 @@ class Runner:
         equivalent."""
         if idv < 0:
             idv = int(self._host_rng.integers(self.dataset.n_images))
+        if not self._is_chief:
+            return []
         if resolution_level < 0:
             resolution_level = self.tcfg.validate_resolution_level
         warmup = self.iter_step < self.tcfg.warm_up_iter
@@ -494,9 +527,11 @@ class Runner:
         if world_space:
             scale_mat = self.dataset.scale_mats_np[0]
             vertices = vertices * scale_mat[0, 0] + scale_mat[:3, 3][None]
-        path = os.path.join(self.base_exp_dir, "meshes",
-                            f"{self.iter_step:08d}.ply")
-        io.write_ply(path, vertices, triangles)
+        if self._is_chief:   # every process extracts (the sharded grid
+            # query is a collective program all must enter); one writes
+            path = os.path.join(self.base_exp_dir, "meshes",
+                                f"{self.iter_step:08d}.ply")
+            io.write_ply(path, vertices, triangles)
         logger.info("End")
         return vertices, triangles
 
@@ -515,9 +550,10 @@ class Runner:
         if world_space:
             scale_mat = self.dataset.scale_mats_np[0]
             verts_out = vertices * scale_mat[0, 0] + scale_mat[:3, 3][None]
-        path = os.path.join(self.base_exp_dir, "meshes",
-                            f"{self.iter_step:08d}.ply")
-        io.write_ply(path, verts_out, triangles, vertex_colors=albedo)
+        if self._is_chief:
+            path = os.path.join(self.base_exp_dir, "meshes",
+                                f"{self.iter_step:08d}.ply")
+            io.write_ply(path, verts_out, triangles, vertex_colors=albedo)
         logger.info("End")
         return verts_out, triangles, albedo
 

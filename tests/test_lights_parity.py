@@ -96,7 +96,7 @@ def test_training_geometry_frame_invariant(scene, monkeypatch):
         color=fields.RenderingConfig(d_feature=32, d_hidden=32, n_layers=2,
                                      multires_view=2),
         nerf=fields.NeRFConfig(D=2, W=32, multires=4, multires_view=2,
-                               skips=(1,)))
+                               skips=(0,)))
     rcfg = RendererConfig(n_samples=12, n_importance=12, up_sample_steps=2)
     tcfg = steplib.TrainConfig(end_iter=300, warm_up_end=20, batch_size=64)
 
