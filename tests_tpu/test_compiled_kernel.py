@@ -1,0 +1,80 @@
+"""Compiled (Mosaic) vs interpret parity for the fused SDF core, plus one
+compiled production-width train step — catches Mosaic lowering regressions
+at test time instead of at bench/e2e time (tests/test_pallas_sdf_core.py is
+interpret-only by design: it checks math, this tier checks the compiler)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rnb_tpu.models import fields
+from rnb_tpu.ops import pallas_sdf_core as core
+
+
+def _setup(n=512):
+    cfg = fields.SDFConfig()   # production: 8x256, skip 4, multires 6
+    params = fields.init_sdf_network(jax.random.PRNGKey(3), cfg)
+    pts = jax.random.uniform(jax.random.PRNGKey(4), (n, 3), jnp.float32,
+                             -0.8, 0.8)
+    return cfg, params, pts
+
+
+def test_compiled_forward_matches_interpret_bf16():
+    """Same op, same bf16 operand dtype; only the execution path differs
+    (Mosaic-compiled vs interpreter). Tolerances are bf16-roundoff level:
+    a Mosaic regression shows up as gross disagreement, not epsilons."""
+    cfg, params, pts = _setup()
+    out_c = core.sdf_value_feat_grad_fused(cfg, params, pts, interpret=False,
+                                           dtype=jnp.bfloat16)
+    out_i = core.sdf_value_feat_grad_fused(cfg, params, pts, interpret=True,
+                                           dtype=jnp.bfloat16)
+    names = ("sdf", "feat", "grad")
+    for name, c, i in zip(names, out_c, out_i):
+        c, i = np.asarray(c, np.float32), np.asarray(i, np.float32)
+        scale = max(1e-3, float(np.abs(i).max()))
+        np.testing.assert_allclose(c, i, atol=2e-2 * scale, rtol=2e-2,
+                                   err_msg=name)
+
+
+def test_compiled_backward_matches_interpret_bf16():
+    cfg, params, pts = _setup()
+    cw = jax.random.normal(jax.random.PRNGKey(5), (512, 256)) * 0.1
+
+    def loss(p, interpret):
+        sdf, feat, grad = core.sdf_value_feat_grad_fused(
+            cfg, p, pts, interpret=interpret, dtype=jnp.bfloat16)
+        eik = ((jnp.linalg.norm(grad, axis=-1) - 1.0) ** 2).mean()
+        return sdf.sum() * 1e-2 + (feat * cw).mean() + eik
+
+    g_c = jax.grad(lambda p: loss(p, False))(params)
+    g_i = jax.grad(lambda p: loss(p, True))(params)
+    for c, i in zip(jax.tree_util.tree_leaves(g_c),
+                    jax.tree_util.tree_leaves(g_i)):
+        c, i = np.asarray(c, np.float32), np.asarray(i, np.float32)
+        scale = max(1e-4, float(np.abs(i).max()))
+        np.testing.assert_allclose(c, i, atol=3e-2 * scale, rtol=3e-2)
+
+
+def test_compiled_production_train_step():
+    """One full compiled main-phase step at production shapes: finite loss,
+    params move."""
+    from rnb_tpu.data import dataset as ds
+    from rnb_tpu.models.renderer import RendererConfig
+    from rnb_tpu.train import step as steplib
+
+    scene = ds.make_sphere_scene(n_views=2, H=64, W=64, radius=0.4)
+    statics = fields.ModelStatics(sdf=fields.SDFConfig(),
+                                  color=fields.RenderingConfig(),
+                                  nerf=fields.NeRFConfig())
+    params = fields.init_model_bundle(jax.random.PRNGKey(0), statics)
+    tcfg = steplib.resolve_runtime_flags(steplib.TrainConfig())
+    assert tcfg.core_impl == "pallas"
+    rcfg = steplib.apply_runtime_flags(RendererConfig(), tcfg)
+    state = steplib.init_train_state(params, tcfg)
+    fn = steplib.make_train_step(statics, rcfg, tcfg, warmup=False,
+                                 no_albedo=False, donate=False)
+    state2, m = fn(state, scene.arrays, 0, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    before = jax.tree_util.tree_leaves(state.params["sdf"])[0]
+    after = jax.tree_util.tree_leaves(state2.params["sdf"])[0]
+    assert not np.array_equal(np.asarray(before), np.asarray(after))

@@ -49,17 +49,18 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # for the mask-supervised variants and 2x that for the womask variants
 # (silhouette carving must come from color alone there, the method's known
 # harder regime -- the reference compensates with anneal_end=50000).
+# keys are the conf base_exp_dir leaf names (exp/<case>/<key>)
 VARIANTS = {
-    "wmask": {
+    "wmask_rnb": {
         "conf": "confs/wmask_rnb.conf", "threshold": 0.004, "extra": []},
-    "wmask_noalbedo": {
+    "wmask_rnb_noalbedo": {
         "conf": "confs/wmask_rnb_noalbedo.conf", "threshold": 0.004,
         "extra": []},
-    "womask": {
+    "womask_rnb": {
         "conf": "confs/womask_rnb.conf", "threshold": 0.008,
         "extra": ["--set", "train.anneal_end=5000",
                   "--set", "model.neus_renderer.n_outside=4"]},
-    "womask_noalbedo": {
+    "womask_rnb_noalbedo": {
         "conf": "confs/womask_rnb_noalbedo.conf", "threshold": 0.008,
         "extra": ["--set", "train.anneal_end=5000",
                   "--set", "model.neus_renderer.n_outside=4"]},
