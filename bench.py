@@ -89,12 +89,44 @@ def main():
     main_rps = measure(warmup=False)
     warm_rps = measure(warmup=True)
 
+    # capability rows beyond the reference's fixed batch 512
+    # (`/root/reference/confs/wmask_rnb.conf:26`): throughput headroom at
+    # larger ray batches — the regime a multi-chip mesh runs in, where the
+    # global batch grows with the mesh (set RNB_BENCH_BATCH_CURVE=0 to skip)
+    batch_curve = []
+    if os.environ.get("RNB_BENCH_BATCH_CURVE", "1") == "1":
+        import dataclasses
+
+        import jax.numpy as jnp
+        for bsz in (2048, 8192):
+            t2 = dataclasses.replace(tcfg, batch_size=bsz)
+            fn = steplib.make_train_step(statics, steplib.apply_runtime_flags(
+                RendererConfig(), t2), t2, warmup=False, no_albedo=False)
+            state = steplib.init_train_state(
+                jax.tree_util.tree_map(jnp.array, params), t2)
+            for i in range(2):
+                state, metrics = fn(state, scene.arrays, i % scene.n_images,
+                                    key)
+            float(metrics["loss"])
+            n2 = max(8, (iters * 512) // bsz)
+            t0 = time.perf_counter()
+            for i in range(n2):
+                state, metrics = fn(state, scene.arrays, i % scene.n_images,
+                                    key)
+            assert float(metrics["loss"]) == float(metrics["loss"])
+            batch_curve.append({
+                "batch": bsz,
+                "rays_per_s_per_chip": round(
+                    n2 * bsz / (time.perf_counter() - t0) / max(n_dev, 1), 1),
+            })
+
     print(json.dumps({
         "metric": "train_rays_per_s_per_chip",
         "value": round(main_rps / max(n_dev, 1), 1),
         "unit": "rays/s/chip (main phase, batch 512, 128 samples, 3 lights)",
         "vs_baseline": round(main_rps / max(n_dev, 1) / REFERENCE_RAYS_PER_S, 3),
         "warmup_phase_rays_per_s_per_chip": round(warm_rps / max(n_dev, 1), 1),
+        "batch_curve": batch_curve,
         "flags": steplib.runtime_flags_dict(tcfg),
         "n_devices": n_dev,
     }))

@@ -7,6 +7,11 @@
 # psums ride ICI.
 #
 # Usage: jobs/train_tpu_pod.sh CASE [CONF] [EXTRA_ARGS...]
+#
+# Memory scaling: add `--set train.view_shard=true` and each process loads
+# from disk ONLY the views its devices own (parallel/data.py per-host
+# loader; proven by tests/test_multihost.py) — dataset size then scales
+# with the slice instead of being capped by one host/chip.
 set -euo pipefail
 
 CASE="${1:?usage: train_tpu_pod.sh CASE [CONF] [extra args]}"

@@ -272,21 +272,21 @@ def _specs_weights(weights, biases, mspace):
     return specs
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
-def _run_fwd(cfg: SDFConfig, flat, interpret: bool, dtype):
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _run_fwd(cfg: SDFConfig, flat, interpret: bool, dtype, block: int):
     pts_pad, weights, biases = flat
     n_layers = len(weights)
     n = pts_pad.shape[0]
     d_out = weights[-1].shape[1]
     mspace = pl.ANY if interpret else pltpu.VMEM
-    in_specs = [pl.BlockSpec((FWD_BLOCK, 3), lambda i: (i, 0),
+    in_specs = [pl.BlockSpec((block, 3), lambda i: (i, 0),
                              memory_space=mspace)]
     in_specs += _specs_weights(weights, biases, mspace)
     out_specs = [
-        pl.BlockSpec((FWD_BLOCK, 1), lambda i: (i, 0), memory_space=mspace),
-        pl.BlockSpec((FWD_BLOCK, d_out - 1), lambda i: (i, 0),
+        pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=mspace),
+        pl.BlockSpec((block, d_out - 1), lambda i: (i, 0),
                      memory_space=mspace),
-        pl.BlockSpec((FWD_BLOCK, 3), lambda i: (i, 0), memory_space=mspace),
+        pl.BlockSpec((block, 3), lambda i: (i, 0), memory_space=mspace),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((n, 1), jnp.float32),
@@ -302,27 +302,27 @@ def _run_fwd(cfg: SDFConfig, flat, interpret: bool, dtype):
             dimension_semantics=("parallel",))
     return pl.pallas_call(
         functools.partial(_fwd_kernel, cfg, n_layers, dtype),
-        grid=(n // FWD_BLOCK,),
+        grid=(n // block,),
         in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
         interpret=interpret, **kwargs,
     )(pts_pad, *weights, *biases)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
-def _run_bwd(cfg: SDFConfig, flat, interpret: bool, dtype):
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _run_bwd(cfg: SDFConfig, flat, interpret: bool, dtype, block: int):
     pts_pad, weights, biases, csdf, cfeat, cgrad = flat
     n_layers = len(weights)
     n = pts_pad.shape[0]
     d_out = weights[-1].shape[1]
     mspace = pl.ANY if interpret else pltpu.VMEM
-    in_specs = [pl.BlockSpec((BWD_BLOCK, 3), lambda i: (i, 0),
+    in_specs = [pl.BlockSpec((block, 3), lambda i: (i, 0),
                              memory_space=mspace)]
     in_specs += _specs_weights(weights, biases, mspace)
     in_specs += [
-        pl.BlockSpec((BWD_BLOCK, 1), lambda i: (i, 0), memory_space=mspace),
-        pl.BlockSpec((BWD_BLOCK, d_out - 1), lambda i: (i, 0),
+        pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=mspace),
+        pl.BlockSpec((block, d_out - 1), lambda i: (i, 0),
                      memory_space=mspace),
-        pl.BlockSpec((BWD_BLOCK, 3), lambda i: (i, 0), memory_space=mspace),
+        pl.BlockSpec((block, 3), lambda i: (i, 0), memory_space=mspace),
     ]
     out_specs, out_shape = [], []
     for w in weights:
@@ -335,7 +335,7 @@ def _run_bwd(cfg: SDFConfig, flat, interpret: bool, dtype):
         out_shape.append(jax.ShapeDtypeStruct(b.shape, jnp.float32))
     return pl.pallas_call(
         functools.partial(_bwd_kernel, cfg, n_layers, dtype),
-        grid=(n // BWD_BLOCK,),
+        grid=(n // block,),
         in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
         interpret=interpret,
     )(pts_pad, *weights, *biases, csdf, cfeat, cgrad)
@@ -352,36 +352,40 @@ def _run_bwd(cfg: SDFConfig, flat, interpret: bool, dtype):
 BLOCK = math.lcm(FWD_BLOCK, BWD_BLOCK)
 
 
-def _pad_pts(pts):
+def _pad_pts(pts, fwd_block: int, bwd_block: int):
     n = pts.shape[0]
-    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    blk = math.lcm(fwd_block, bwd_block)
+    n_pad = ((n + blk - 1) // blk) * blk
     if n_pad != n:
         pts = jnp.pad(pts, ((0, n_pad - n), (0, 0)))
     return pts, n
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _core(cfg: SDFConfig, interpret: bool, dtype, ws, bs, pts):
-    out, _ = _core_fwd(cfg, interpret, dtype, ws, bs, pts)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _core(cfg: SDFConfig, interpret: bool, dtype, fwd_block, bwd_block,
+          ws, bs, pts):
+    out, _ = _core_fwd(cfg, interpret, dtype, fwd_block, bwd_block,
+                       ws, bs, pts)
     return out
 
 
-def _core_fwd(cfg, interpret, dtype, ws, bs, pts):
-    pts_pad, n = _pad_pts(pts)
-    sdf, feat, grad = _run_fwd(cfg, (pts_pad, ws, bs), interpret, dtype)
+def _core_fwd(cfg, interpret, dtype, fwd_block, bwd_block, ws, bs, pts):
+    pts_pad, n = _pad_pts(pts, fwd_block, bwd_block)
+    sdf, feat, grad = _run_fwd(cfg, (pts_pad, ws, bs), interpret, dtype,
+                               fwd_block)
     return (sdf[:n, 0], feat[:n], grad[:n]), (ws, bs, pts)
 
 
-def _core_bwd(cfg, interpret, dtype, res, cots):
+def _core_bwd(cfg, interpret, dtype, fwd_block, bwd_block, res, cots):
     ws, bs, pts = res
     c_sdf, c_feat, c_grad = cots
-    pts_pad, n = _pad_pts(pts)
+    pts_pad, n = _pad_pts(pts, fwd_block, bwd_block)
     pad = pts_pad.shape[0] - n
     csdf = jnp.pad(c_sdf[:, None], ((0, pad), (0, 0)))
     cfeat = jnp.pad(c_feat, ((0, pad), (0, 0)))
     cgrad = jnp.pad(c_grad, ((0, pad), (0, 0)))
     outs = _run_bwd(cfg, (pts_pad, ws, bs, csdf, cfeat, cgrad), interpret,
-                    dtype)
+                    dtype, bwd_block)
     n_layers = len(ws)
     dws = tuple(outs[:n_layers])
     dbs = tuple(outs[n_layers:])   # keep [1, out] — must match bs' shapes
@@ -394,15 +398,22 @@ _core.defvjp(_core_fwd, _core_bwd)
 
 def sdf_value_feat_grad_fused(cfg: SDFConfig, params, pts,
                               interpret: bool | None = None,
-                              dtype=jnp.bfloat16):
+                              dtype=jnp.bfloat16,
+                              fwd_block: int | None = None,
+                              bwd_block: int | None = None):
     """Drop-in for fields.sdf_value_feat_grad: [N,3] -> (sdf [N], feat [N,F],
     grad [N,3]), differentiable w.r.t. params (incl. weight norm) in ONE
     reverse pass. The sdf output of the kernel is pre-divided... scale note:
     the kernel divides the sdf channel by cfg.scale and emits ∂/∂x directly.
+
+    fwd_block/bwd_block: points per grid step (default: RNB_CORE_FWD_BLOCK /
+    RNB_CORE_BWD_BLOCK env, 128 each) — call-time parameters so
+    tools/tune_kernel.py can sweep them in one process.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     dense = _fold_dense(params)
     ws = tuple(w for w, _ in dense)
     bs = tuple(b[None, :] for _, b in dense)   # [1, out] for 2-D tiling
-    return _core(cfg, interpret, dtype, ws, bs, pts)
+    return _core(cfg, interpret, dtype, fwd_block or FWD_BLOCK,
+                 bwd_block or BWD_BLOCK, ws, bs, pts)
