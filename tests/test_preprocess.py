@@ -202,3 +202,54 @@ def test_organize_data_rti_layout(tmp_path):
     n = organize(str(src), str(out), layout="rti")
     assert n == 2
     assert sorted(os.listdir(out / "mask")) == ["000.png", "001.png"]
+
+
+def test_degraded_capture_statistics(tmp_path):
+    """The --degrade pass must actually produce SDM-UniPS-like artifacts:
+    per-pixel angular normal noise at the configured magnitude, morphed mask
+    boundaries, perturbed stored focals, 8-bit maps — while the underlying
+    geometry stays the clean analytic scene (the acceptance gates measure
+    against it)."""
+    from make_synthetic_case import write_case
+    from rnb_tpu.data import dataset as ds
+    from rnb_tpu.utils import io
+
+    case = str(tmp_path / "deg")
+    write_case(case, n_views=4, H=64, W=64, shape="torus", degrade=True,
+               normal_noise_deg=3.0, mask_morph_px=2, focal_err=0.002)
+
+    clean = ds.make_torus_scene(n_views=4, H=64, W=64)
+    clean_n = np.asarray(clean.arrays.normals)
+    clean_m = np.asarray(clean.arrays.masks)
+
+    # 8-bit PNGs
+    import cv2 as cv
+    img = cv.imread(os.path.join(case, "normal", "000.png"),
+                    cv.IMREAD_UNCHANGED)
+    assert img.dtype == np.uint8
+
+    n0 = io.load_normal(os.path.join(case, "normal", "000.png"))
+    m0 = io.load_mask(os.path.join(case, "mask", "000.png"))
+    both = (clean_m[0] > 0.5) & (m0 > 0.5)
+    dots = np.clip((n0[both] * clean_n[0][both]).sum(-1)
+                   / np.maximum(np.linalg.norm(n0[both], axis=-1), 1e-9),
+                   -1, 1)
+    ang = np.degrees(np.arccos(dots))
+    # folded N(0, 3deg) has mean ~2.4deg; 8-bit quantization adds ~0.3
+    assert 1.0 < ang.mean() < 5.0, ang.mean()
+
+    # masks morphed on every view, alternating erode/dilate
+    area_clean = clean_m.sum(axis=(1, 2))
+    for v in range(4):
+        mv = io.load_mask(os.path.join(case, "mask", f"{v:03d}.png"))
+        assert (clean_m[v] != mv).sum() > 0
+        if v % 2 == 0:
+            assert mv.sum() < area_clean[v]   # eroded
+        else:
+            assert mv.sum() > area_clean[v]   # dilated
+
+    # stored cameras perturbed relative to the true render cameras
+    cams = np.load(os.path.join(case, "cameras.npz"))
+    deltas = [np.abs(cams[f"world_mat_{v}"] - clean.world_mats_np[v]).max()
+              for v in range(4)]
+    assert max(deltas) > 1e-4
