@@ -55,11 +55,14 @@ from jax.experimental.pallas import tpu as pltpu
 from rnb_tpu.models.fields import SDFConfig
 
 import os as _os
-# pts per grid step (X rows = 4*BLOCK). The fwd kernel stores nothing so it
-# can run bigger blocks than the bwd kernel (which keeps all 9 layers'
-# pre-activations in VMEM).
+# pts per grid step (X rows = 4*BLOCK). Defaults from the r4 sweep
+# (tools/tune_kernel.py on v5e): fwd 256 is ~5% faster than 128 and stores
+# nothing; the bwd kernel keeps all 9 layers' pre-activations per block in
+# VMEM and at 256 sits 1.16 MB OVER the 16 MB scoped-VMEM limit (compiles
+# only marginally, OOMs depending on surrounding program), so it stays at
+# 128 — the measured cost of 128 vs 256 was 2.4% on the fwd+bwd contraction.
 FWD_BLOCK = int(_os.environ.get("RNB_CORE_FWD_BLOCK",
-                                _os.environ.get("RNB_CORE_BLOCK", "128")))
+                                _os.environ.get("RNB_CORE_BLOCK", "256")))
 BWD_BLOCK = int(_os.environ.get("RNB_CORE_BWD_BLOCK",
                                 _os.environ.get("RNB_CORE_BLOCK", "128")))
 
@@ -90,7 +93,12 @@ def _fold_dense(params):
 
 def _pe_rows(cfg: SDFConfig, pts):
     """[B,3] points -> X0 [4B, in_ch] f32: stacked [e; T0; T1; T2] where e is
-    the positional encoding of u = pts*scale and T^d = ∂e/∂u_d (dense)."""
+    the positional encoding of u = pts*scale and T^d = ∂e/∂u_d (dense).
+
+    The sin/cos octave ladder uses the double-angle recurrence
+    (sin 2x = 2 sin x cos x, cos 2x = 1 - 2 sin²x) — 2 VPU transcendentals
+    per coordinate instead of 2*multires (f32 recurrence error ~1e-6 over 6
+    octaves, far below the bf16 matmul operand precision downstream)."""
     u = pts * cfg.scale
     e_parts = [u]
     t_parts = [[], [], []]
@@ -99,16 +107,29 @@ def _pe_rows(cfg: SDFConfig, pts):
     eye = [(lane == d).astype(jnp.float32) for d in range(3)]
     for d in range(3):
         t_parts[d].append(eye[d])
+    s, c = jnp.sin(u), jnp.cos(u)
     for k in range(cfg.multires):
         f = 2.0 ** k
-        ang = u * f
-        s, c = jnp.sin(ang), jnp.cos(ang)
         e_parts += [s, c]
         for d in range(3):
             t_parts[d] += [f * c * eye[d], -f * s * eye[d]]
+        if k + 1 < cfg.multires:
+            s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
     e = jnp.concatenate(e_parts, axis=-1)
     ts = [jnp.concatenate(p, axis=-1) for p in t_parts]
     return jnp.concatenate([e] + ts, axis=0)
+
+
+def _softplus100_pair(z):
+    """(sigmoid(100 z), softplus(100 z)/100) from ONE exp + ONE log1p,
+    numerically stable both tails: with t = e^(-100|z|),
+      sigmoid = 1/(1+t) for z>=0, t/(1+t) otherwise;
+      softplus(100 z)/100 = max(z, 0) + log1p(t)/100."""
+    t = jnp.exp(-100.0 * jnp.abs(z))
+    inv = 1.0 / (1.0 + t)
+    s = jnp.where(z >= 0, inv, t * inv)
+    h = jnp.maximum(z, 0.0) + jnp.log1p(t) * 0.01
+    return s, h
 
 
 def _layer_matmul(X, w_ref, dtype):
@@ -138,11 +159,10 @@ def _forward_chain(cfg: SDFConfig, n_layers: int, w_refs, b_refs, pts, dtype,
             record.append(Z)
         if l < n_layers - 1:
             z = Z[:B] + b_refs[l][...]                   # [B, out_l]
-            s = jax.nn.sigmoid(z * 100.0)
-            h = jax.nn.softplus(z * 100.0) / 100.0
-            Tz = Z[B:].reshape(3, B, -1)
-            Th = (Tz * s[None]).reshape(3 * B, -1)
-            X = jnp.concatenate([h, Th], axis=0)
+            s, h = _softplus100_pair(z)
+            # tangent rows scaled by sigma' without a 3-D reshape round-trip
+            s3 = jnp.concatenate([s, s, s], axis=0)      # [3B, out_l]
+            X = jnp.concatenate([h, Z[B:] * s3], axis=0)
     # final layer: z8 = Z[:B] + b8; tangent rows stay raw
     return Z
 
@@ -202,10 +222,9 @@ def _bwd_kernel(cfg: SDFConfig, n_layers: int, dtype, pts_ref, *refs):
         else:
             Zp = Zs[l - 1]
             z = Zp[:B] + b_refs[l - 1][...]
-            s = jax.nn.sigmoid(z * 100.0)
-            h = jax.nn.softplus(z * 100.0) / 100.0
-            Th = (Zp[B:].reshape(3, B, -1) * s[None]).reshape(3 * B, -1)
-            X = jnp.concatenate([h, Th], axis=0)
+            s, h = _softplus100_pair(z)
+            s3 = jnp.concatenate([s, s, s], axis=0)
+            X = jnp.concatenate([h, Zp[B:] * s3], axis=0)
         if l in cfg.skip_in:
             X = jnp.concatenate([X, E], axis=-1) * inv_sqrt2
         return X
@@ -247,14 +266,14 @@ def _bwd_kernel(cfg: SDFConfig, n_layers: int, dtype, pts_ref, *refs):
         # through the softplus100 that produced X_l's rows from Z_{l-1}
         Zp = Zs[l - 1]
         z = Zp[:B] + b_refs[l - 1][...]
-        s = jax.nn.sigmoid(z * 100.0)
-        Tz = Zp[B:].reshape(3, B, -1)
+        s, _ = _softplus100_pair(z)
         bar_h = bar_X[:B]
-        bar_Th = bar_X[B:].reshape(3, B, -1)
-        bar_zp = bar_h * s + jnp.sum(bar_Th * Tz, axis=0) * (100.0 * s
-                                                             * (1.0 - s))
-        bar_Tzp = (bar_Th * s[None]).reshape(3 * B, -1)
-        bar_Z = jnp.concatenate([bar_zp, bar_Tzp], axis=0)
+        bar_T = bar_X[B:]                      # [3B, out]
+        prod = bar_T * Zp[B:]
+        tang_dot = prod[:B] + prod[B:2 * B] + prod[2 * B:]   # Σ_d bar_Th⊙Tz
+        bar_zp = bar_h * s + tang_dot * (100.0 * s * (1.0 - s))
+        s3 = jnp.concatenate([s, s, s], axis=0)
+        bar_Z = jnp.concatenate([bar_zp, bar_T * s3], axis=0)
 
 
 # ---------------------------------------------------------------------------

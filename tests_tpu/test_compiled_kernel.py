@@ -67,14 +67,19 @@ def test_compiled_production_train_step():
                                   color=fields.RenderingConfig(),
                                   nerf=fields.NeRFConfig())
     params = fields.init_model_bundle(jax.random.PRNGKey(0), statics)
-    tcfg = steplib.resolve_runtime_flags(steplib.TrainConfig())
+    # warm_up_end=1: the linear LR warm-up makes the step-0 update exactly
+    # zero, so params can only move from the second step on
+    tcfg = steplib.resolve_runtime_flags(steplib.TrainConfig(warm_up_end=1))
     assert tcfg.core_impl == "pallas"
     rcfg = steplib.apply_runtime_flags(RendererConfig(), tcfg)
     state = steplib.init_train_state(params, tcfg)
     fn = steplib.make_train_step(statics, rcfg, tcfg, warmup=False,
                                  no_albedo=False, donate=False)
     state2, m = fn(state, scene.arrays, 0, jax.random.PRNGKey(1))
+    state2, m = fn(state2, scene.arrays, 1, jax.random.PRNGKey(1))
     assert np.isfinite(float(m["loss"]))
-    before = jax.tree_util.tree_leaves(state.params["sdf"])[0]
-    after = jax.tree_util.tree_leaves(state2.params["sdf"])[0]
-    assert not np.array_equal(np.asarray(before), np.asarray(after))
+    before = jax.tree_util.tree_leaves(state.params["sdf"])
+    after = jax.tree_util.tree_leaves(state2.params["sdf"])
+    moved = any(not np.array_equal(np.asarray(b), np.asarray(a))
+                for b, a in zip(before, after))
+    assert moved
