@@ -142,29 +142,39 @@ def _layer_matmul(X, w_ref, dtype):
 
 def _forward_chain(cfg: SDFConfig, n_layers: int, w_refs, b_refs, pts, dtype,
                    record=None):
-    """Run the stacked primal+tangent chain. Returns final Z [4B, d_out].
-    If `record` is a list, appends (X_l) inputs and the final nothing —
-    layers' pre-activation Z_l are appended for the backward sweep."""
+    """Run the primal+tangent chain with the primal rows ([B, C]) and the
+    tangent rows ([3B, C]) kept as SEPARATE slabs, both stored in the matmul
+    operand dtype: no [4B] concat copy per layer and no per-matmul casts
+    (numerically identical — the operands were cast per-dot before).
+    Returns the final pre-activations (z [B, d_out], Tz [3B, d_out]), both
+    f32 (accumulator outputs, bias NOT yet added to z).
+    If `record` is a list, appends (z_l, Tz_l) f32 pairs per layer for the
+    backward sweep."""
     B = pts.shape[0]
-    X0 = _pe_rows(cfg, pts)          # [4B, in_ch]
-    E = X0                           # skip-concat source (both row kinds)
-    X = X0
-    inv_sqrt2 = 1.0 / math.sqrt(2.0)
-    Z = None
+    X0 = _pe_rows(cfg, pts)                      # [4B, in_ch] f32
+    e16 = X0[:B].astype(dtype)                   # skip-concat sources
+    T16 = X0[B:].astype(dtype)
+    inv_sqrt2 = jnp.asarray(1.0 / math.sqrt(2.0), dtype)
+    h, Th = e16, T16
+    z = Tz = None
     for l in range(n_layers):
         if l in cfg.skip_in:
-            X = jnp.concatenate([X, E], axis=-1) * inv_sqrt2
-        Z = _layer_matmul(X, w_refs[l], dtype)           # [4B, out_l]
+            h = jnp.concatenate([h, e16], axis=-1) * inv_sqrt2
+            Th = jnp.concatenate([Th, T16], axis=-1) * inv_sqrt2
+        w16 = w_refs[l][...].astype(dtype)
+        z = jnp.dot(h, w16, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)       # [B, out] f32
+        Tz = jnp.dot(Th, w16, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.DEFAULT)      # [3B, out] f32
         if record is not None:
-            record.append(Z)
+            record.append((z, Tz))
         if l < n_layers - 1:
-            z = Z[:B] + b_refs[l][...]                   # [B, out_l]
-            s, h = _softplus100_pair(z)
-            # tangent rows scaled by sigma' without a 3-D reshape round-trip
-            s3 = jnp.concatenate([s, s, s], axis=0)      # [3B, out_l]
-            X = jnp.concatenate([h, Z[B:] * s3], axis=0)
-    # final layer: z8 = Z[:B] + b8; tangent rows stay raw
-    return Z
+            zb = z + b_refs[l][...]
+            s, hh = _softplus100_pair(zb)
+            s3 = jnp.concatenate([s, s, s], axis=0)            # [3B, out]
+            h = hh.astype(dtype)
+            Th = (Tz * s3).astype(dtype)
+    return z, Tz
 
 
 # ---------------------------------------------------------------------------
@@ -177,14 +187,13 @@ def _fwd_kernel(cfg: SDFConfig, n_layers: int, dtype, pts_ref, *refs):
     sdf_ref, feat_ref, grad_ref = refs[2 * n_layers:]
 
     B = pts_ref.shape[0]
-    Z = _forward_chain(cfg, n_layers, w_refs, b_refs, pts_ref[...], dtype)
-    z8 = Z[:B] + b_refs[n_layers - 1][...]
+    z, Tz = _forward_chain(cfg, n_layers, w_refs, b_refs, pts_ref[...], dtype)
+    z8 = z + b_refs[n_layers - 1][...]
     sdf_ref[...] = z8[:, :1] / cfg.scale
     feat_ref[...] = z8[:, 1:]
     # grad w.r.t. original x: sdf = z8[0]/scale with u = x*scale, so the
-    # 1/scale and the PE-input scale cancel: grad_d = Tz8^d[:, 0]
-    Tz8 = Z[B:].reshape(3, B, -1)
-    grad_ref[...] = jnp.transpose(Tz8[:, :, 0], (1, 0))
+    # 1/scale and the PE-input scale cancel: grad_d = Tz^d[:, 0]
+    grad_ref[...] = jnp.transpose(Tz[:, 0].reshape(3, B), (1, 0))
 
 
 # ---------------------------------------------------------------------------
@@ -208,72 +217,80 @@ def _bwd_kernel(cfg: SDFConfig, n_layers: int, dtype, pts_ref, *refs):
         for r in db_refs:
             r[...] = jnp.zeros_like(r)
 
-    # --- recompute the forward, recording pre-activation Z_l per layer ---
-    Zs = []
+    # --- recompute the forward, recording (z_l, Tz_l) f32 pairs ---
+    # (the final layer's pair is recorded but unused here — its dots are
+    # dead code the compiler removes, so the recompute is n_layers-1 deep)
+    recs = []
     _forward_chain(cfg, n_layers, w_refs, b_refs, pts_ref[...], dtype,
-                   record=Zs)
+                   record=recs)
     X0 = _pe_rows(cfg, pts_ref[...])
-    E = X0
+    e16 = X0[:B].astype(dtype)
+    T16 = X0[B:].astype(dtype)
+    inv_sqrt2_16 = jnp.asarray(inv_sqrt2, dtype)
 
     def x_input(l):
-        """Rebuild X_l (the input to layer l's matmul) from Z_{l-1}."""
+        """Rebuild layer l's matmul inputs (h16 [B,in], Th16 [3B,in])."""
         if l == 0:
-            X = X0
+            h, Th = e16, T16
         else:
-            Zp = Zs[l - 1]
-            z = Zp[:B] + b_refs[l - 1][...]
-            s, h = _softplus100_pair(z)
+            zp, Tzp = recs[l - 1]
+            s, hh = _softplus100_pair(zp + b_refs[l - 1][...])
             s3 = jnp.concatenate([s, s, s], axis=0)
-            X = jnp.concatenate([h, Zp[B:] * s3], axis=0)
+            h, Th = hh.astype(dtype), (Tzp * s3).astype(dtype)
         if l in cfg.skip_in:
-            X = jnp.concatenate([X, E], axis=-1) * inv_sqrt2
-        return X
+            h = jnp.concatenate([h, e16], axis=-1) * inv_sqrt2_16
+            Th = jnp.concatenate([Th, T16], axis=-1) * inv_sqrt2_16
+        return h, Th
 
     # --- initialize output cotangents ---
-    d_out = Zs[-1].shape[-1]
     bar_z = jnp.concatenate([csdf_ref[...] / cfg.scale, cfeat_ref[...]],
-                            axis=-1)                       # [B, d_out]
+                            axis=-1)                       # [B, d_out] f32
+    d_out = bar_z.shape[-1]
     # tangent cotangents: only column 0 (the sdf channel) carries c_grad
     col0 = (jax.lax.broadcasted_iota(jnp.int32, (B, d_out), 1) == 0)
     cg = cgrad_ref[...]                                    # [B, 3]
     bar_T = jnp.concatenate(
         [jnp.where(col0, cg[:, d:d + 1], 0.0) for d in range(3)], axis=0)
-    bar_Z = jnp.concatenate([bar_z, bar_T], axis=0)        # [4B, d_out]
 
-    # --- reverse sweep ---
+    # --- reverse sweep over separate primal/tangent slabs ---
     for l in range(n_layers - 1, -1, -1):
-        X = x_input(l)
+        h16, Th16 = x_input(l)
+        bz16 = bar_z.astype(dtype)
+        bT16 = bar_T.astype(dtype)
         # parameter gradients (accumulated across grid steps; the TPU grid
-        # is sequential so += on the revisited output block is safe)
-        # dW = Xᵀ @ bar_Z via an EXPLICIT transpose: Mosaic lowers a
-        # dim-0-contracting dot_general pathologically (measured 3-4x the
-        # whole rest of this kernel); transpose-then-matmul costs ~2 ms
-        # total across all layers/blocks
-        dw_refs[l][...] += jnp.dot(
-            X.astype(dtype).T, bar_Z.astype(dtype),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT)
-        db_refs[l][...] += jnp.sum(bar_Z[:B], axis=0, keepdims=True)
+        # is sequential so += on the revisited output block is safe).
+        # dW = hᵀ@bar_z + Thᵀ@bar_T via EXPLICIT transposes: Mosaic lowers
+        # a dim-0-contracting dot_general pathologically (measured 3-4x the
+        # whole rest of this kernel)
+        dw_refs[l][...] += (
+            jnp.dot(h16.T, bz16, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+            + jnp.dot(Th16.T, bT16, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT))
+        db_refs[l][...] += jnp.sum(bar_z, axis=0, keepdims=True)
         if l == 0:
             break
-        bar_X = jax.lax.dot_general(
-            bar_Z.astype(dtype), w_refs[l][...].astype(dtype),
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT)
+        w16 = w_refs[l][...].astype(dtype)
+        bar_h = jax.lax.dot_general(
+            bz16, w16, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)           # [B, in_l]
+        bar_Th = jax.lax.dot_general(
+            bT16, w16, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)           # [3B, in_l]
         if l in cfg.skip_in:
-            h_dim = bar_X.shape[-1] - E.shape[-1]
-            bar_X = bar_X[:, :h_dim] * inv_sqrt2
-        # through the softplus100 that produced X_l's rows from Z_{l-1}
-        Zp = Zs[l - 1]
-        z = Zp[:B] + b_refs[l - 1][...]
-        s, _ = _softplus100_pair(z)
-        bar_h = bar_X[:B]
-        bar_T = bar_X[B:]                      # [3B, out]
-        prod = bar_T * Zp[B:]
+            h_dim = bar_h.shape[-1] - e16.shape[-1]
+            bar_h = bar_h[:, :h_dim] * inv_sqrt2
+            bar_Th = bar_Th[:, :h_dim] * inv_sqrt2
+        # through the softplus100 that produced layer l's inputs
+        zp, Tzp = recs[l - 1]
+        s, _ = _softplus100_pair(zp + b_refs[l - 1][...])
+        prod = bar_Th * Tzp
         tang_dot = prod[:B] + prod[B:2 * B] + prod[2 * B:]   # Σ_d bar_Th⊙Tz
-        bar_zp = bar_h * s + tang_dot * (100.0 * s * (1.0 - s))
+        bar_z = bar_h * s + tang_dot * (100.0 * s * (1.0 - s))
         s3 = jnp.concatenate([s, s, s], axis=0)
-        bar_Z = jnp.concatenate([bar_zp, bar_T * s3], axis=0)
+        bar_T = bar_Th * s3
 
 
 # ---------------------------------------------------------------------------
