@@ -92,3 +92,36 @@ def test_two_process_matches_single_process(tmp_path, case_dir):
     # chief-only artifacts: exactly one checkpoint set, one mesh
     assert os.path.isdir(os.path.join(exp2, "checkpoints"))
     assert len(os.listdir(os.path.join(exp2, "meshes"))) >= 1
+
+
+def test_two_process_replicated_data(tmp_path, case_dir):
+    """The simpler multi-host placement (replicated maps, ray-batch DP) must
+    also execute across processes and match the single-process run."""
+    exp1 = str(tmp_path / "exp_single_rep")
+    p = _run(case_dir, exp1, ["--num_processes", "1",
+                              "--devices_per_process", "8",
+                              "--view_shard", "false"])
+    out, _ = p.communicate(timeout=900)
+    assert p.returncode == 0, out[-3000:]
+    ref = _losses(exp1)
+    assert len(ref) == 6
+
+    exp2 = str(tmp_path / "exp_2proc_rep")
+    port = _free_port()
+    procs = [_run(case_dir, exp2,
+                  ["--num_processes", "2", "--process_id", str(i),
+                   "--devices_per_process", "4",
+                   "--view_shard", "false",
+                   "--coordinator", f"localhost:{port}"])
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    assert all(p.returncode == 0 for p in procs), "\n".join(
+        o[-3000:] for o in outs)
+    got = _losses(exp2)
+    assert set(got) == set(ref)
+    for s in ref:
+        assert abs(got[s] - ref[s]) <= 1e-4 * max(1.0, abs(ref[s])), (
+            s, got[s], ref[s])

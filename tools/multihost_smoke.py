@@ -50,7 +50,7 @@ train {{
     warm_up_end = 5, anneal_end = 0, use_white_bkgd = False,
     save_freq = {end_iter}, val_freq = 1000000, val_mesh_freq = 1000000,
     report_freq = 1, igr_weight = 0.1, mask_weight = 0.1,
-    view_shard = true,
+    view_shard = {view_shard},
 }}
 model {{
     nerf {{ D = 2, d_in = 4, d_in_view = 3, W = 32, multires = 4,
@@ -83,6 +83,10 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--mesh_resolution", type=int, default=0,
                     help=">0: also run a sharded mesh extraction")
+    ap.add_argument("--view_shard", default="true", choices=("true", "false"),
+                    help="false: replicated-data sharded step (the simpler "
+                         "multi-host placement; every process loads the full "
+                         "dataset)")
     args = ap.parse_args(argv)
 
     # CPU backend with D virtual devices per process, BEFORE any jax device
@@ -112,12 +116,14 @@ def main(argv=None):
     with open(conf_path, "w") as f:
         f.write(CONF_TMPL.format(
             exp_dir=args.exp, data_dir=args.case, end_iter=args.end_iter,
-            warm_up_iter=args.warm_up_iter, batch_size=args.batch_size))
+            warm_up_iter=args.warm_up_iter, batch_size=args.batch_size,
+            view_shard=args.view_shard))
 
     from rnb_tpu.train.runner import Runner
     runner = Runner(conf_path, "train_rnb", shard="auto")
-    assert runner.mesh is not None and runner.view_shard
-    if args.num_processes > 1:
+    assert runner.mesh is not None
+    assert runner.view_shard == (args.view_shard == "true")
+    if args.num_processes > 1 and runner.view_shard:
         # the per-host loader must have loaded ONLY this process's views
         n_global = runner.dataset.n_images_global
         assert runner.dataset.n_images < n_global or args.num_processes == 1, (
