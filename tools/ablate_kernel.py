@@ -3,10 +3,12 @@
 65k points) by timing STRIPPED kernel variants — profiler traces are opaque
 inside a Mosaic custom call, so ablation is the measurement tool:
 
-    full        the production forward chain (pallas_sdf_core._forward_chain)
+    full        pallas_sdf_core._forward_chain itself (the production chain)
     no_pe       PE replaced by a broadcast of the raw coords (isolates the
                 sin/cos ladder + tangent-basis construction)
-    no_act      activations replaced by identity (isolates softplus/sigmoid)
+    no_act      softplus/sigmoid pair replaced by cheap multiplies with the
+                SAME dataflow (the Tz*s3 tangent scaling stays — isolates
+                ONLY the transcendentals)
     primal_only tangent slabs dropped (isolates the 3x tangent matmul cost)
 
 Numerics of the variants are WRONG by construction — timing only.
@@ -16,7 +18,6 @@ Usage (free TPU): python tools/ablate_kernel.py [--n 65536] [--block 256]
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import math
 import os
@@ -32,6 +33,9 @@ def main(argv=None):
     ap.add_argument("--block", type=int, default=256)
     ap.add_argument("--iters", type=int, default=50)
     args = ap.parse_args(argv)
+    assert args.n % args.block == 0, (
+        f"--n {args.n} must divide by --block {args.block} (no pad here; "
+        "a partial grid would silently mistime)")
 
     import jax
     import jax.numpy as jnp
@@ -55,12 +59,14 @@ def main(argv=None):
     dtype = jnp.bfloat16
 
     def chain(mode, w_refs, b_refs, p):
+        """Stripped variants of core._forward_chain — mode 'full' is NOT
+        handled here (it calls the production function directly, so the
+        baseline can never desynchronize from the shipped kernel)."""
         inv_sqrt2 = jnp.asarray(1.0 / math.sqrt(2.0), dtype)
         B = p.shape[0]
         if mode == "no_pe":
-            in_ch = cfg.pe_dim if hasattr(cfg, "pe_dim") else 3 * (
-                1 + 2 * cfg.multires)
-            e = jnp.broadcast_to(p[:, :1], (B, in_ch)).astype(jnp.float32)
+            e = jnp.broadcast_to(p[:, :1], (B, cfg.input_ch)
+                                 ).astype(jnp.float32)
             X0 = jnp.concatenate([e, e, e, e], axis=0)
         else:
             X0 = core._pe_rows(cfg, p)
@@ -82,15 +88,15 @@ def main(argv=None):
             if l < n_layers - 1:
                 zb = z + b_refs[l][...]
                 if mode == "no_act":
-                    h = zb.astype(dtype)
-                    if mode != "primal_only":
-                        Th = Tz.astype(dtype)
+                    # same dataflow as production, transcendentals replaced
+                    # by multiplies
+                    s, hh = zb * 0.5, zb * 0.25
                 else:
                     s, hh = core._softplus100_pair(zb)
-                    h = hh.astype(dtype)
-                    if mode != "primal_only":
-                        s3 = jnp.concatenate([s, s, s], axis=0)
-                        Th = (Tz * s3).astype(dtype)
+                h = hh.astype(dtype)
+                if mode != "primal_only":
+                    s3 = jnp.concatenate([s, s, s], axis=0)
+                    Th = (Tz * s3).astype(dtype)
         if mode == "primal_only":
             Tz = jnp.zeros((3 * B, z.shape[-1]), jnp.float32)
         return z, Tz
@@ -101,7 +107,11 @@ def main(argv=None):
             b_refs = refs[n_layers:2 * n_layers]
             sdf_ref, grad_ref = refs[2 * n_layers:]
             B = p_ref.shape[0]
-            z, Tz = chain(mode, w_refs, b_refs, p_ref[...])
+            if mode == "full":
+                z, Tz = core._forward_chain(cfg, n_layers, w_refs, b_refs,
+                                            p_ref[...], dtype)
+            else:
+                z, Tz = chain(mode, w_refs, b_refs, p_ref[...])
             sdf_ref[...] = z[:, :1]
             grad_ref[...] = jnp.transpose(Tz[:, 0].reshape(3, B), (1, 0))
         return kern
@@ -111,8 +121,7 @@ def main(argv=None):
         mspace = pltpu.VMEM
         in_specs = [pl.BlockSpec((blk, 3), lambda i: (i, 0),
                                  memory_space=mspace)]
-        in_specs += core._specs_weights([np.asarray(w) for w in ws],
-                                         [np.asarray(b) for b in bs], mspace)
+        in_specs += core._specs_weights(ws, bs, mspace)  # reads .shape only
         out_specs = [
             pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=mspace),
             pl.BlockSpec((blk, 3), lambda i: (i, 0), memory_space=mspace)]
@@ -137,7 +146,7 @@ def main(argv=None):
         try:
             res[mode] = round(run(mode), 3)
         except Exception as e:
-            res[mode] = str(e).splitlines()[0][:100]
+            res[mode] = f"{e!r}"[:140]
         print(mode, res[mode], flush=True)
     print(json.dumps(res))
 
