@@ -100,8 +100,19 @@ def main():
         import jax.numpy as jnp
         for bsz in (2048, 8192):
             t2 = dataclasses.replace(tcfg, batch_size=bsz)
-            fn = steplib.make_train_step(statics, steplib.apply_runtime_flags(
-                RendererConfig(), t2), t2, warmup=False, no_albedo=False)
+            r2 = steplib.apply_runtime_flags(RendererConfig(), t2)
+            # same sharded-vs-single dispatch as the headline metric — a
+            # single-device step divided by n_dev would understate
+            # rays/s/chip by ~n_dev on multi-device hosts
+            if n_dev > 1 and bsz % n_dev == 0:
+                from rnb_tpu.parallel import mesh as meshlib
+                from rnb_tpu.parallel.train import make_sharded_train_step
+                fn = make_sharded_train_step(statics, r2, t2, warmup=False,
+                                             no_albedo=False,
+                                             mesh=meshlib.make_ray_mesh())
+            else:
+                fn = steplib.make_train_step(statics, r2, t2, warmup=False,
+                                             no_albedo=False)
             state = steplib.init_train_state(
                 jax.tree_util.tree_map(jnp.array, params), t2)
             for i in range(2):

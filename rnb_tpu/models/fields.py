@@ -398,12 +398,6 @@ class NeRFConfig:
 
 
 def init_nerf(key, cfg: NeRFConfig) -> Dict[str, Any]:
-    # a skip at the final pts layer would leave h at W+input_ch entering the
-    # alpha/feature heads (which expect W) — invalid in the reference
-    # architecture too (`fields.py:246-252`); fail at init, not with a
-    # cryptic shape error mid-train
-    assert not cfg.skips or max(cfg.skips) < cfg.D - 1, (
-        f"nerf skips {cfg.skips} must be < D-1 = {cfg.D - 1}")
     keys = jax.random.split(key, cfg.D + 4)
     pts_layers = [_torch_default_linear(keys[0], cfg.input_ch, cfg.W)]
     for i in range(cfg.D - 1):
@@ -420,6 +414,16 @@ def init_nerf(key, cfg: NeRFConfig) -> Dict[str, Any]:
 
 def nerf_apply(cfg: NeRFConfig, params, input_pts, input_views):
     """Returns (density_raw [N,1], rgb_raw [N,3]) like `fields.py:281-312`."""
+    # a skip at the final pts layer would leave h at W+input_ch entering the
+    # alpha/feature heads (which expect W) — invalid in the reference
+    # architecture too (`fields.py:246-252`). Checked HERE (trace time, i.e.
+    # only when the NeRF is actually evaluated, n_outside > 0) rather than
+    # at init: configs with an invalid-but-unused background net trained
+    # fine before and must keep doing so.
+    if cfg.skips and max(cfg.skips) >= cfg.D - 1:
+        raise ValueError(
+            f"nerf skips {cfg.skips} must be < D-1 = {cfg.D - 1} (a skip at "
+            "the final pts layer breaks the alpha/feature head widths)")
     if cfg.multires > 0:
         embed_fn, _ = make_embedder(cfg.multires, cfg.d_in)
         input_pts = embed_fn(input_pts)

@@ -144,8 +144,12 @@ def _forward_chain(cfg: SDFConfig, n_layers: int, w_refs, b_refs, pts, dtype,
                    record=None):
     """Run the primal+tangent chain with the primal rows ([B, C]) and the
     tangent rows ([3B, C]) kept as SEPARATE slabs, both stored in the matmul
-    operand dtype: no [4B] concat copy per layer and no per-matmul casts
-    (numerically identical — the operands were cast per-dot before).
+    operand dtype: no [4B] concat copy per layer and no per-matmul casts.
+    Numerics: identical to the pre-split kernel EXCEPT at skip layers, where
+    the concat-then-*inv_sqrt2 now happens on already-bf16 operands (one
+    extra bf16 rounding per element vs f32-multiply-then-cast) — at most
+    1 ulp on bf16 operands, inside the kernel's validated tolerances, but
+    not bit-identical to old goldens.
     Returns the final pre-activations (z [B, d_out], Tz [3B, d_out]), both
     f32 (accumulator outputs, bias NOT yet added to z).
     If `record` is a list, appends (z_l, Tz_l) f32 pairs per layer for the
@@ -443,7 +447,8 @@ def sdf_value_feat_grad_fused(cfg: SDFConfig, params, pts,
     the kernel divides the sdf channel by cfg.scale and emits ∂/∂x directly.
 
     fwd_block/bwd_block: points per grid step (default: RNB_CORE_FWD_BLOCK /
-    RNB_CORE_BWD_BLOCK env, 128 each) — call-time parameters so
+    RNB_CORE_BWD_BLOCK env, else 256 fwd / 128 bwd — see the module-top
+    comment for the sweep behind those numbers) — call-time parameters so
     tools/tune_kernel.py can sweep them in one process.
     """
     if interpret is None:

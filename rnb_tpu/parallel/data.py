@@ -107,10 +107,15 @@ def assemble_from_host_shards(local_arrays: DataArrays, n_views_global: int,
     # hosts on exotic mesh layouts
     mine_pos = [i for i, d in enumerate(mesh.devices.flat)
                 if d.process_index == jax.process_index()]
-    assert mine_pos == list(range(mine_pos[0], mine_pos[0] + len(mine_pos))), (
-        "this process's devices are not contiguous in mesh.devices.flat; "
-        f"positions={mine_pos} — build the mesh with per-process device "
-        "blocks (jax.devices() order) before view-sharded loading")
+    # a hard raise, not an assert: this guard prevents SILENT cross-host
+    # view permutation and must survive python -O
+    if not mine_pos or mine_pos != list(
+            range(mine_pos[0], mine_pos[0] + len(mine_pos))):
+        raise ValueError(
+            "this process's devices are absent or not contiguous in "
+            f"mesh.devices.flat; positions={mine_pos} — build the mesh with "
+            "per-process device blocks (jax.devices() order) before "
+            "view-sharded loading")
     out = []
     for leaf in local_arrays:
         local = np.asarray(leaf)

@@ -276,15 +276,20 @@ class Runner:
             # RING non-finite gradient steps; we dump it for diagnosis AND
             # keep a periodically-refreshed confirmed-finite snapshot.
             if not np.isfinite(m["loss"]):
+                # every process raises, but only the chief writes the dumps —
+                # N processes writing the same tmp+rename path concurrently
+                # would publish a corrupt npz (chief-only IO invariant)
                 ckpt_dir = os.path.join(self.base_exp_dir, "checkpoints")
                 path = ckptlib.checkpoint_path(ckpt_dir, s, prefix="nan_dump_")
-                ckptlib.save_checkpoint(path, self.state)
+                if self._is_chief:
+                    ckptlib.save_checkpoint(path, self.state)
                 good_msg = "no confirmed-good snapshot yet"
                 if self._snap_good is not None:
                     good_it, good_state = self._snap_good
                     good_path = ckptlib.checkpoint_path(ckpt_dir, good_it,
                                                         prefix="last_good_")
-                    ckptlib.save_checkpoint(good_path, good_state)
+                    if self._is_chief:
+                        ckptlib.save_checkpoint(good_path, good_state)
                     good_msg = (f"last confirmed-finite state (iter "
                                 f"{good_it}) saved to {good_path}")
                 raise FloatingPointError(
@@ -304,8 +309,11 @@ class Runner:
                 "Statistics/psnr": m["psnr"],
                 "lr": m["lr"],
             })
-            if s % self.tcfg.report_freq == 0 and self._is_chief:
+            if s % self.tcfg.report_freq == 0:
+                # pop on EVERY process (all of them insert; leaving the pop
+                # chief-only would leak the dict on non-chiefs)
                 rps = self._rps_at.pop(s, self._report_rps)
+            if s % self.tcfg.report_freq == 0 and self._is_chief:
                 self.writer.log(s, {"Perf/rays_per_s": rps})
                 print(f"iter:{s:8d} loss={m['loss']:.5f} "
                       f"color={m['color_loss']:.5f} "
@@ -390,6 +398,16 @@ class Runner:
             self._chunk_render_fns[key] = fn
         return self._chunk_render_fns[key]
 
+    def _local_params(self):
+        """Params safe to feed a chief-local jit: under multi-process
+        training they are jax.Arrays committed to the GLOBAL mesh, and a
+        single process mixing them with fresh local operands is
+        ill-defined — pull the (replicated) values to host once (~5 MB)
+        and let the local jit re-place them."""
+        if jax.process_count() > 1:
+            return jax.device_get(self.state.params)
+        return self.state.params
+
     def _render_view(self, idv: int, idl: int, resolution_level: int,
                      warmup: bool):
         """Chunked full-view render; returns (rgb [H,W,3], normal [H,W,3])."""
@@ -409,6 +427,7 @@ class Runner:
                      else self.rcfg.n_samples)
         render = self._get_chunk_render(warmup)
         background_rgb = jnp.ones((1, 3)) if self.tcfg.use_white_bkgd else None
+        params = self._local_params()
 
         out_rgb, out_normal = [], []
         cos_r = self.get_cos_anneal_ratio()
@@ -427,7 +446,7 @@ class Runner:
                 lights = ds.lights_at_pixels(arrays, idv, idl,
                                              jnp.asarray(cx), jnp.asarray(cy))
                 lights = lights[None, :, None, :]  # [1,B,1,3]
-            out = render(self.state.params, jnp.asarray(o), jnp.asarray(d),
+            out = render(params, jnp.asarray(o), jnp.asarray(d),
                          near, far, lights, self.base_key,
                          cos_anneal_ratio=cos_r,
                          background_rgb=background_rgb)
@@ -571,14 +590,14 @@ class Runner:
                                           pts, grad, grad, feat)
 
         out = np.empty_like(vertices)
+        params = self._local_params()
         for start in range(0, len(vertices), chunk):
             end = min(start + chunk, len(vertices))
             pad = chunk - (end - start) if len(vertices) > chunk else 0
             block = vertices[start:end]
             if pad:
                 block = np.pad(block, ((0, pad), (0, 0)))
-            vals = np.asarray(q(self.state.params,
-                                jnp.asarray(block, jnp.float32)))
+            vals = np.asarray(q(params, jnp.asarray(block, jnp.float32)))
             out[start:end] = np.clip(vals[:end - start], 0, 1)
         return out
 
@@ -597,6 +616,7 @@ class Runner:
         bsz = self.tcfg.batch_size
         render = jax.jit(partial(rnd.render, self.statics, self.rcfg))
         background_rgb = jnp.ones((1, 3)) if self.tcfg.use_white_bkgd else None
+        params = self._local_params()
         out_rgb = []
         for start in range(0, rays_o.shape[0], bsz):
             end = min(start + bsz, rays_o.shape[0])
@@ -605,7 +625,7 @@ class Runner:
             d = np.pad(rays_d[start:end], ((0, pad), (0, 0)), mode="edge")
             near, far = self.dataset.near_far_from_sphere(jnp.asarray(o),
                                                           jnp.asarray(d))
-            out = render(self.state.params, jnp.asarray(o), jnp.asarray(d),
+            out = render(params, jnp.asarray(o), jnp.asarray(d),
                          near, far, self.base_key,
                          cos_anneal_ratio=self.get_cos_anneal_ratio(),
                          background_rgb=background_rgb)

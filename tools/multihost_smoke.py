@@ -48,7 +48,7 @@ train {{
     end_iter = {end_iter}, warm_up_iter = {warm_up_iter},
     batch_size = {batch_size}, validate_resolution_level = 8,
     warm_up_end = 5, anneal_end = 0, use_white_bkgd = False,
-    save_freq = {end_iter}, val_freq = 1000000, val_mesh_freq = 1000000,
+    save_freq = {end_iter}, val_freq = 4, val_mesh_freq = 1000000,
     report_freq = 1, igr_weight = 0.1, mask_weight = 0.1,
     view_shard = {view_shard},
 }}
