@@ -165,3 +165,22 @@ def test_sdf_only_lowp_close_to_f32(sdf_cfg, sdf_params):
     np.testing.assert_allclose(low, ref, atol=0.02)
     # correlation-preserving: ordering of well-separated values is kept
     assert np.corrcoef(ref, low)[0, 1] > 0.999
+
+
+def test_nerf_invalid_skip_raises_at_apply():
+    """A skip at the final pts layer is invalid (breaks the head widths) but
+    must fail only when the NeRF is EVALUATED — configs with an unused
+    background net (n_outside=0) construct and train fine."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from rnb_tpu.models import fields
+
+    cfg = fields.NeRFConfig(D=2, W=32, multires=4, multires_view=2,
+                            skips=(1,))
+    params = fields.init_nerf(jax.random.PRNGKey(0), cfg)  # must NOT raise
+    pts = jnp.zeros((4, 4))
+    views = jnp.zeros((4, 3))
+    with pytest.raises(ValueError, match="skips"):
+        fields.nerf_apply(cfg, params, pts, views)
