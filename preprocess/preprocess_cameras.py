@@ -144,8 +144,57 @@ def estimate_normalization(Ps: np.ndarray, mask_points_all,
     return normalization, pts
 
 
+def refine_visual_hull(masks: np.ndarray, Ps: np.ndarray, scale: float,
+                       center: np.ndarray, grid_size: int = 100,
+                       min_views: int | None = None):
+    """Visual-hull refinement of the normalization estimate
+    (`/root/reference/preprocess/preprocess_cameras.py:125-155`; disabled by
+    default there and here — opt in with --refine_visual_hull).
+
+    Carve a grid_size³ lattice spanning [-scale, scale]³ around `center` by
+    projecting every lattice point into every camera and counting silhouette
+    hits; keep points inside >= min_views silhouettes (default: all views,
+    rather than the reference's hard-coded 20 'fitted for DTU'), then
+    recenter on the kept points and set the new scale to 3x their mean
+    distance from the centroid.
+
+    Returns (centroid [3], scale, kept_points [M,3]). Vectorized over the
+    lattice; loops only over cameras."""
+    n_cam, im_h, im_w = masks.shape[:3]
+    if min_views is None:
+        min_views = n_cam
+    lin = np.linspace(-scale, scale, grid_size)
+    xx, yy, zz = np.meshgrid(lin, lin, lin)
+    points = np.stack((xx.ravel(), yy.ravel(), zz.ravel()))  # [3, G]
+    points = points + np.asarray(center, np.float64)[:, None]
+    hom = np.concatenate([points, np.ones((1, points.shape[1]))], axis=0)
+
+    appears = np.zeros(points.shape[1], np.int64)
+    for i in range(n_cam):
+        proj = Ps[i][:3] @ hom
+        depths = proj[2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            px = np.round(proj[0] / depths).astype(np.int64)
+            py = np.round(proj[1] / depths).astype(np.int64)
+        ok = ((px >= 0) & (px < im_w) & (py >= 0) & (py < im_h)
+              & (depths > 0))
+        idx = np.nonzero(ok)[0]
+        hit = masks[i][py[idx], px[idx]] > 0.5
+        appears[idx[hit]] += 1
+
+    kept = points[:, appears >= min_views]
+    if kept.shape[1] == 0:
+        raise RuntimeError(
+            f"visual hull empty at min_views={min_views}; lower it or check "
+            "masks/cameras")
+    centroid = kept.mean(axis=1)
+    rel = kept - centroid[:, None]
+    new_scale = float(np.sqrt((rel ** 2).sum(axis=0)).mean() * 3.0)
+    return centroid, new_scale, kept.T
+
+
 def get_normalization(source_dir: str, use_linear_init: bool = False,
-                      seed: int = 0):
+                      seed: int = 0, refine_hull: bool = False):
     print("Preprocessing", source_dir)
     n_points = 1000 if use_linear_init else 100
     cameras_filename = ("cameras_linear_init" if use_linear_init else "cameras")
@@ -159,6 +208,12 @@ def get_normalization(source_dir: str, use_linear_init: bool = False,
 
     normalization, _ = estimate_normalization(Ps, mask_points_all, n_points,
                                               seed)
+    if refine_hull:
+        centroid, scale, _ = refine_visual_hull(
+            masks_all, Ps, float(normalization[0, 0]), normalization[:3, 3])
+        normalization = np.eye(4, dtype=np.float32)
+        normalization[:3, 3] = centroid
+        normalization[0, 0] = normalization[1, 1] = normalization[2, 2] = scale
 
     cameras_new = {}
     for i in range(n_cams):
@@ -179,11 +234,17 @@ if __name__ == "__main__":
                         help="apply to all ../data/DTU/scan* scenes")
     parser.add_argument("--use_linear_init", default=False, action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--refine_visual_hull", default=False,
+                        action="store_true",
+                        help="refine the estimate by silhouette carving "
+                             "(disabled in the reference too)")
     opt = parser.parse_args()
 
     if opt.dtu:
         for scene_dir in sorted(glob(os.path.join("../data/DTU", "scan*"))):
-            get_normalization(scene_dir, opt.use_linear_init, opt.seed)
+            get_normalization(scene_dir, opt.use_linear_init, opt.seed,
+                              opt.refine_visual_hull)
     else:
-        get_normalization(opt.source_dir, opt.use_linear_init, opt.seed)
+        get_normalization(opt.source_dir, opt.use_linear_init, opt.seed,
+                          opt.refine_visual_hull)
     print("Done!")

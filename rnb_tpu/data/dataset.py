@@ -373,13 +373,21 @@ def _torus_normal(p: np.ndarray, R: float = 0.5) -> np.ndarray:
 
 def make_torus_scene(n_views: int = 8, H: int = 128, W: int = 128,
                      R: float = 0.5, r: float = 0.22, cam_dist: float = 3.0,
-                     albedo_rgb=(0.7, 0.55, 0.35), seed: int = 0) -> Dataset:
+                     albedo_rgb=(0.7, 0.55, 0.35), seed: int = 0,
+                     center=(0.0, 0.0, 0.0)) -> Dataset:
     """Analytic torus scene rendered by sphere tracing — a NON-convex,
     genus-1 fixture whose surface differs qualitatively from the SDF
     network's unit-sphere geometric init (a much stronger end-to-end
     convergence test than the sphere: training must both shrink the surface
     and open the hole). Cameras/conventions identical to make_sphere_scene.
+
+    center: world-space torus center. Off-origin centers (with cameras still
+    ringing the ORIGIN) make the capture un-normalized — the fixture for
+    exercising preprocess/preprocess_cameras.py scene normalization in the
+    loop (then scale mats are genuinely non-identity, like DiLiGenT's;
+    `/root/reference/models/dataset.py:197-205`).
     """
+    center = np.asarray(center, np.float64)
     normals_np = np.zeros((n_views, H, W, 3), np.float32)
     albedos_np = np.zeros((n_views, H, W, 3), np.float32)
     masks_np = np.zeros((n_views, H, W), np.float32)
@@ -416,18 +424,19 @@ def make_torus_scene(n_views: int = 8, H: int = 128, W: int = 128,
         d_cam /= np.linalg.norm(d_cam, axis=-1, keepdims=True)
         d_world = d_cam @ R_w2c
 
-        # sphere-trace the torus SDF
-        t_ray = np.full((H, W), cam_dist - 1.2)
+        # sphere-trace the torus SDF (evaluated about `center`)
+        t_ray = np.full((H, W), cam_dist - 1.2 - np.linalg.norm(center))
         alive = np.ones((H, W), bool)
         for _ in range(160):
             p = C[None, None] + t_ray[..., None] * d_world
-            d = torus_sdf(p, R, r)
+            d = torus_sdf(p - center, R, r)
             t_ray = np.where(alive, t_ray + d, t_ray)
             alive = alive & (d > 1e-5) & (t_ray < cam_dist + 1.2)
         p = C[None, None] + t_ray[..., None] * d_world
-        hit = (np.abs(torus_sdf(p, R, r)) < 1e-3) & (t_ray < cam_dist + 1.2)
+        hit = ((np.abs(torus_sdf(p - center, R, r)) < 1e-3)
+               & (t_ray < cam_dist + 1.2))
 
-        n_world = _torus_normal(p, R)
+        n_world = _torus_normal(p - center, R)
         n_cam = n_world @ R_w2c.T
         normals_np[v] = np.where(hit[..., None], n_cam, 0.0)
         masks_np[v] = hit.astype(np.float32)

@@ -42,6 +42,35 @@ def test_normalization_recovers_sphere(tmp_path):
     assert np.all(loaded.object_bbox_max > loaded.object_bbox_min)
 
 
+def test_visual_hull_refinement(tmp_path):
+    """refine_visual_hull (`/root/reference/preprocess/preprocess_cameras.py:
+    125-155`, disabled there): silhouette carving of the sphere case must
+    recover a centroid near the true center and a tighter scale consistent
+    with the true radius (hull scale = 3x mean point distance ~= 3*0.45*
+    sqrt-moment, same order as the epipolar estimate)."""
+    from make_synthetic_case import write_case
+    from preprocess_cameras import (load_mask_points, refine_visual_hull)
+
+    case = str(tmp_path / "case")
+    write_case(case, n_views=6, H=96, W=96, radius=0.45)
+    _, masks = load_mask_points(os.path.join(case, "mask"))
+    cams = np.load(os.path.join(case, "cameras.npz"))
+    Ps = np.array([cams[f"world_mat_{i}"][:3].astype(np.float64)
+                   for i in range(6)])
+    centroid, scale, pts = refine_visual_hull(
+        masks, Ps, scale=1.0, center=np.zeros(3), grid_size=60)
+    assert np.abs(centroid).max() < 0.1
+    # hull of a radius-0.45 sphere: mean |p - c| in [0.2, 0.45] -> scale in
+    # [0.6, 1.4] (x3); and all kept points lie inside ~the true sphere
+    assert 0.6 < scale < 1.4
+    d = np.linalg.norm(pts - centroid[None], axis=1)
+    assert d.max() < 0.6
+    # empty hull raises loudly instead of emitting a NaN scale_mat
+    with pytest.raises(RuntimeError):
+        refine_visual_hull(masks, Ps, scale=1.0,
+                           center=np.array([50.0, 0, 0]), grid_size=10)
+
+
 def test_sdm2idr_roundtrip(tmp_path):
     import scipy.io
     from sdm2idr import convert

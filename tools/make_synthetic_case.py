@@ -113,9 +113,17 @@ def write_case(out_dir: str, n_views: int = 8, H: int = 128, W: int = 128,
                radius: float = 0.4, seed: int = 0,
                shape: str = "sphere", degrade: bool = False,
                normal_noise_deg: float = 3.0, mask_morph_px: int = 2,
-               focal_err: float = 0.002) -> str:
+               focal_err: float = 0.002, center=(0.0, 0.0, 0.0),
+               normalize: bool = False) -> str:
+    """normalize=True: write the capture UN-normalized (identity scale mats,
+    object possibly off-origin via `center`), then run our own scene
+    normalization (preprocess/preprocess_cameras.py) on it — the resulting
+    cameras.npz carries genuinely non-identity scale mats, exercising the L0
+    preprocessing stage in the loop exactly as a real capture would
+    (`/root/reference/models/dataset.py:197-205`)."""
     if shape == "torus":
-        scene = ds.make_torus_scene(n_views=n_views, H=H, W=W, seed=seed)
+        scene = ds.make_torus_scene(n_views=n_views, H=H, W=W, seed=seed,
+                                    center=center)
     else:
         scene = ds.make_sphere_scene(n_views=n_views, H=H, W=W, radius=radius,
                                      seed=seed)
@@ -146,6 +154,12 @@ def write_case(out_dir: str, n_views: int = 8, H: int = 128, W: int = 128,
                       albedos[i], bit_depth=bit_depth)
         io.save_image(os.path.join(out_dir, "mask", f"{i:03d}.png"),
                       np.stack([masks[i]] * 3, axis=-1))
+
+    if normalize:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "preprocess"))
+        from preprocess_cameras import get_normalization
+        get_normalization(out_dir, seed=seed)
     return out_dir
 
 
@@ -154,6 +168,15 @@ if __name__ == "__main__":
     ap.add_argument("--out", default="./data/sphere")
     ap.add_argument("--n_views", type=int, default=8)
     ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--width", type=int, default=0,
+                    help="image width (default: --size; set W != H for "
+                         "non-square captures like DiLiGenT's 612x512)")
+    ap.add_argument("--height", type=int, default=0)
+    ap.add_argument("--center", type=float, nargs=3, default=(0.0, 0.0, 0.0),
+                    help="world-space object center (torus only)")
+    ap.add_argument("--normalize", action="store_true",
+                    help="write un-normalized, then run our scene "
+                         "normalization (non-identity scale mats)")
     ap.add_argument("--radius", type=float, default=0.4)
     ap.add_argument("--shape", default="sphere", choices=["sphere", "torus"])
     ap.add_argument("--degrade", action="store_true",
@@ -164,11 +187,14 @@ if __name__ == "__main__":
     ap.add_argument("--focal_err", type=float, default=0.002)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
-    path = write_case(args.out, args.n_views, args.size, args.size,
+    path = write_case(args.out, args.n_views,
+                      args.height or args.size, args.width or args.size,
                       args.radius, seed=args.seed, shape=args.shape,
                       degrade=args.degrade,
                       normal_noise_deg=args.normal_noise_deg,
                       mask_morph_px=args.mask_morph_px,
-                      focal_err=args.focal_err)
+                      focal_err=args.focal_err, center=tuple(args.center),
+                      normalize=args.normalize)
     print(f"wrote synthetic case to {path}"
-          + (" (degraded capture)" if args.degrade else ""))
+          + (" (degraded capture)" if args.degrade else "")
+          + (" (self-normalized)" if args.normalize else ""))

@@ -48,7 +48,7 @@ train {{
     end_iter = {end_iter}, warm_up_iter = {warm_up_iter},
     batch_size = {batch_size}, validate_resolution_level = 8,
     warm_up_end = 5, anneal_end = 0, use_white_bkgd = False,
-    save_freq = {end_iter}, val_freq = 4, val_mesh_freq = 1000000,
+    save_freq = {save_freq}, val_freq = 4, val_mesh_freq = 1000000,
     report_freq = 1, igr_weight = 0.1, mask_weight = 0.1,
     view_shard = {view_shard},
 }}
@@ -83,6 +83,11 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--mesh_resolution", type=int, default=0,
                     help=">0: also run a sharded mesh extraction")
+    ap.add_argument("--save_freq", type=int, default=0,
+                    help="checkpoint cadence (default: end_iter)")
+    ap.add_argument("--is_continue", action="store_true",
+                    help="resume from the latest checkpoint in --exp (the "
+                         "multi-process kill+resume leg)")
     ap.add_argument("--view_shard", default="true", choices=("true", "false"),
                     help="false: replicated-data sharded step (the simpler "
                          "multi-host placement; every process loads the full "
@@ -117,10 +122,14 @@ def main(argv=None):
         f.write(CONF_TMPL.format(
             exp_dir=args.exp, data_dir=args.case, end_iter=args.end_iter,
             warm_up_iter=args.warm_up_iter, batch_size=args.batch_size,
+            save_freq=args.save_freq or args.end_iter,
             view_shard=args.view_shard))
 
     from rnb_tpu.train.runner import Runner
-    runner = Runner(conf_path, "train_rnb", shard="auto")
+    runner = Runner(conf_path, "train_rnb", shard="auto",
+                    is_continue=args.is_continue)
+    if args.is_continue:
+        assert runner.iter_step > 0, "resume found no checkpoint"
     assert runner.mesh is not None
     assert runner.view_shard == (args.view_shard == "true")
     if args.num_processes > 1 and runner.view_shard:
