@@ -323,9 +323,10 @@ def render_core_mvps(statics: ModelStatics, params, rays_o, rays_d, z_vals,
     # (~25 GB/step at batch 512 under plain XLA), so trading recompute FLOPs
     # for activation traffic can win (conf key neus_renderer.remat,
     # RNB_REMAT env override).
-    from rnb_tpu.ops import pallas_sdf_core
+    from rnb_tpu.ops import pallas_albedo, pallas_sdf_core
+    on_tpu = jax.default_backend() == "tpu"
     if (core_impl == "pallas" and pallas_sdf_core.supported(statics.sdf)
-            and jax.default_backend() == "tpu"):
+            and on_tpu):
         def _svfg(p, x):
             return pallas_sdf_core.sdf_value_feat_grad_fused(statics.sdf, p, x)
     elif core_impl == "fwdmode":
@@ -335,8 +336,16 @@ def render_core_mvps(statics: ModelStatics, params, rays_o, rays_d, z_vals,
         def _svfg(p, x):
             return fields.sdf_value_feat_grad(statics.sdf, p, x)
 
-    def _color(p, x, g, d, f):
-        return fields.rendering_apply(statics.color, p, x, g, d, f)
+    if (core_impl == "pallas" and pallas_albedo.supported(statics.color)
+            and on_tpu):
+        # fused albedo chain (mode no_view_dir discards view dirs): its XLA
+        # form cost 3.1 ms of an 11.4 ms step (measured by no_albedo
+        # differencing) for 3 matmuls — pure HBM activation traffic
+        def _color(p, x, g, d, f):
+            return pallas_albedo.albedo_apply_fused(statics.color, p, x, g, f)
+    else:
+        def _color(p, x, g, d, f):
+            return fields.rendering_apply(statics.color, p, x, g, d, f)
 
     if remat:
         _svfg = jax.checkpoint(_svfg)

@@ -7,34 +7,46 @@ including the second-order eikonal term). Under plain XLA every one of the
 ~9 linear layers round-trips its [N,256] f32 activations through HBM in the
 forward, the gradient pass, AND the transposed backward — measured 24 GB
 of HBM traffic per 512-ray step, which (not FLOPs) bounds the step at
-~25 ms (docs/ARCHITECTURE.md; XLA cost analysis in tools/bench_step.py
-history). This kernel keeps the entire chain in VMEM per point-block.
+~25 ms (docs/ARCHITECTURE.md). This kernel keeps the entire chain in VMEM
+per point-block.
 
-Key structural idea: ∇SDF is computed by FORWARD-mode tangents that ride the
-primal matmuls as 3 extra row-blocks — each layer is ONE [4B, in]x[in, out]
-MXU matmul for {primal, ∂/∂x, ∂/∂y, ∂/∂z}. Because the gradient is then a
-*primal output* of the op, the eikonal term is first-order in it: the whole
-train-step backward is a single hand-derived reverse sweep through the
-primal+tangent chains (implemented in the backward kernel, recomputing
-activations in VMEM), and torch-style double-backprop
-(`/root/reference/models/fields.py:114-127`) disappears from the program.
+Two structural ideas (round 5 — halving the round-4 kernel's FLOPs):
 
-Derivation of the backward (per layer l, row-stacked X_l = [a; T0; T1; T2],
-Z_l = X_l @ W_l; primal rows get +b and softplus100, tangent rows get
-σ'(z)⊙):
+FORWARD: ∇SDF is a vector-Jacobian product of a SINGLE output channel, so
+reverse mode is the cheap direction — the kernel runs the primal chain
+(one [B,in]x[in,out] MXU matmul per layer), keeps the pre-activations in
+VMEM, and sweeps back with one [B,C]x[C,C] matmul per layer, seeding the
+sweep with W_last[:,0] (the one-hot output cotangent contracted into the
+last weight). Total 2x primal FLOPs — the round-4 design carried 3
+forward-mode tangent rows through every matmul (4x primal FLOPs). ∇SDF is
+still a *primal output* of the op, so the eikonal term stays first-order.
 
-    dW_l  = X_lᵀ @ bar_Z_l          db_l = Σ_batch bar_z_l (primal rows)
+BACKWARD (the hand-derived VJP): the output cotangent c_grad enters only
+through Σ_d c_grad_d · ∂(∇SDF_d)/∂W. Because tangent propagation is LINEAR
+in the tangent input and cotangent propagation is LINEAR in the cotangent
+seed, the three per-axis tangent slabs of the naive formulation collapse
+EXACTLY (in exact arithmetic) into ONE directional slab:
+
+    tangent input  T'_0[i] = Σ_d c_grad[i,d] · ∂e/∂u_d[i]   (per point)
+    cotangent seed bar_T'_L[i] = one-hot(col 0)
+
+so the whole train-step backward is one reverse sweep through a
+primal+single-tangent chain (recomputed in VMEM) — 6x primal FLOPs per
+layer vs 12x for the round-4 three-slab sweep. Derivation per layer l
+(row slabs X_l = [a; T'], Z_l = X_l @ W_l; primal rows get +b and
+softplus100, tangent rows get σ'(z)⊙):
+
+    dW_l  = a_lᵀ @ bar_z_l + T'_lᵀ @ bar_T'_l     db_l = Σ_batch bar_z_l
     bar_X_l = bar_Z_l @ W_lᵀ
     through the activation that produced X_{l+1}:
-      bar_z_l  = bar_h ⊙ σ'(z_l) + Σ_d bar_Th^d ⊙ Tz^d_l ⊙ σ''(z_l)
-      bar_Tz^d = bar_Th^d ⊙ σ'(z_l)
+      bar_z_l  = bar_h ⊙ σ'(z_l) + (bar_Th' ⊙ Tz'_l) ⊙ σ''(z_l)
+      bar_Tz'  = bar_Th' ⊙ σ'(z_l)
     with σ = softplus(100·)/100, σ' = sigmoid(100z), σ'' = 100·s(1-s),
     and the skip concat at l∈skip_in contributing bar/√2 to its inputs.
 
 Matmul operands are bf16 with f32 accumulation (op_dtype param; f32 for the
 interpret-mode exactness tests). Accuracy at bf16 operands is validated by
-tools/validate_precision.py (sphere radius error) and the round-3 end-to-end
-Chamfer run.
+tools/validate_precision.py and end-to-end Chamfer gates (PARITY_r*.json).
 
 pts is treated as NON-differentiable (its VJP slot returns zeros): in this
 framework sample points never require gradients (z_vals are stop_gradient'd
@@ -55,16 +67,15 @@ from jax.experimental.pallas import tpu as pltpu
 from rnb_tpu.models.fields import SDFConfig
 
 import os as _os
-# pts per grid step (X rows = 4*BLOCK). Defaults from the r4 sweep
-# (tools/tune_kernel.py on v5e): fwd 256 is ~5% faster than 128 and stores
-# nothing; the bwd kernel keeps all 9 layers' pre-activations per block in
-# VMEM and at 256 sits 1.16 MB OVER the 16 MB scoped-VMEM limit (compiles
-# only marginally, OOMs depending on surrounding program), so it stays at
-# 128 — the measured cost of 128 vs 256 was 2.4% on the fwd+bwd contraction.
+# pts per grid step. Round-5 sweep on v5e (65k points): fwd standalone is
+# flat 128 vs 256 (3.0-3.1 ms) but the fwd+bwd contraction is best at
+# fwd 128 / bwd 256 (7.17 ms vs 7.29 at 256/256; 512-point blocks OOM the
+# 16 MB scoped-VMEM limit — Mosaic keeps ~40 KB/point live across the
+# recorded-preactivation chain).
 FWD_BLOCK = int(_os.environ.get("RNB_CORE_FWD_BLOCK",
-                                _os.environ.get("RNB_CORE_BLOCK", "256")))
-BWD_BLOCK = int(_os.environ.get("RNB_CORE_BWD_BLOCK",
                                 _os.environ.get("RNB_CORE_BLOCK", "128")))
+BWD_BLOCK = int(_os.environ.get("RNB_CORE_BWD_BLOCK",
+                                _os.environ.get("RNB_CORE_BLOCK", "256")))
 
 
 def supported(cfg: SDFConfig) -> bool:
@@ -91,9 +102,10 @@ def _fold_dense(params):
 # shared in-kernel pieces
 # ---------------------------------------------------------------------------
 
-def _pe_rows(cfg: SDFConfig, pts):
-    """[B,3] points -> X0 [4B, in_ch] f32: stacked [e; T0; T1; T2] where e is
-    the positional encoding of u = pts*scale and T^d = ∂e/∂u_d (dense).
+def _pe_parts(cfg: SDFConfig, pts):
+    """[B,3] points -> (e [B, in_ch], (T0, T1, T2)) f32: the positional
+    encoding of u = pts*scale and its per-axis input tangents T^d = ∂e/∂u_d
+    (dense [B, in_ch] each).
 
     The sin/cos octave ladder uses the double-angle recurrence
     (sin 2x = 2 sin x cos x, cos 2x = 1 - 2 sin²x) — 2 VPU transcendentals
@@ -116,8 +128,8 @@ def _pe_rows(cfg: SDFConfig, pts):
         if k + 1 < cfg.multires:
             s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
     e = jnp.concatenate(e_parts, axis=-1)
-    ts = [jnp.concatenate(p, axis=-1) for p in t_parts]
-    return jnp.concatenate([e] + ts, axis=0)
+    ts = tuple(jnp.concatenate(p, axis=-1) for p in t_parts)
+    return e, ts
 
 
 def _softplus100_pair(z):
@@ -132,57 +144,20 @@ def _softplus100_pair(z):
     return s, h
 
 
-def _layer_matmul(X, w_ref, dtype):
-    # precision pinned explicitly: the kernel controls precision via operand
-    # dtype, and Mosaic rejects the global 'high' default leaking in
-    return jnp.dot(X.astype(dtype), w_ref[...].astype(dtype),
-                   preferred_element_type=jnp.float32,
+def _dot(a, b, dtype):
+    return jnp.dot(a.astype(dtype), b, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.DEFAULT)
 
 
-def _forward_chain(cfg: SDFConfig, n_layers: int, w_refs, b_refs, pts, dtype,
-                   record=None):
-    """Run the primal+tangent chain with the primal rows ([B, C]) and the
-    tangent rows ([3B, C]) kept as SEPARATE slabs, both stored in the matmul
-    operand dtype: no [4B] concat copy per layer and no per-matmul casts.
-    Numerics: identical to the pre-split kernel EXCEPT at skip layers, where
-    the concat-then-*inv_sqrt2 now happens on already-bf16 operands (one
-    extra bf16 rounding per element vs f32-multiply-then-cast) — at most
-    1 ulp on bf16 operands, inside the kernel's validated tolerances, but
-    not bit-identical to old goldens.
-    Returns the final pre-activations (z [B, d_out], Tz [3B, d_out]), both
-    f32 (accumulator outputs, bias NOT yet added to z).
-    If `record` is a list, appends (z_l, Tz_l) f32 pairs per layer for the
-    backward sweep."""
-    B = pts.shape[0]
-    X0 = _pe_rows(cfg, pts)                      # [4B, in_ch] f32
-    e16 = X0[:B].astype(dtype)                   # skip-concat sources
-    T16 = X0[B:].astype(dtype)
-    inv_sqrt2 = jnp.asarray(1.0 / math.sqrt(2.0), dtype)
-    h, Th = e16, T16
-    z = Tz = None
-    for l in range(n_layers):
-        if l in cfg.skip_in:
-            h = jnp.concatenate([h, e16], axis=-1) * inv_sqrt2
-            Th = jnp.concatenate([Th, T16], axis=-1) * inv_sqrt2
-        w16 = w_refs[l][...].astype(dtype)
-        z = jnp.dot(h, w16, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.DEFAULT)       # [B, out] f32
-        Tz = jnp.dot(Th, w16, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.DEFAULT)      # [3B, out] f32
-        if record is not None:
-            record.append((z, Tz))
-        if l < n_layers - 1:
-            zb = z + b_refs[l][...]
-            s, hh = _softplus100_pair(zb)
-            s3 = jnp.concatenate([s, s, s], axis=0)            # [3B, out]
-            h = hh.astype(dtype)
-            Th = (Tz * s3).astype(dtype)
-    return z, Tz
+def _dot_t(a, b, dtype):
+    """a @ b.T without materializing the transpose (contract dim 1 vs 1)."""
+    return jax.lax.dot_general(a.astype(dtype), b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.DEFAULT)
 
 
 # ---------------------------------------------------------------------------
-# forward kernel
+# forward kernel: primal chain + reverse sweep for ∇SDF
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(cfg: SDFConfig, n_layers: int, dtype, pts_ref, *refs):
@@ -191,17 +166,61 @@ def _fwd_kernel(cfg: SDFConfig, n_layers: int, dtype, pts_ref, *refs):
     sdf_ref, feat_ref, grad_ref = refs[2 * n_layers:]
 
     B = pts_ref.shape[0]
-    z, Tz = _forward_chain(cfg, n_layers, w_refs, b_refs, pts_ref[...], dtype)
+    e, Ts = _pe_parts(cfg, pts_ref[...])
+    e16 = e.astype(dtype)
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    inv_sqrt2_16 = jnp.asarray(inv_sqrt2, dtype)
+
+    # --- primal chain, recording biased pre-activations for the sweep ---
+    h = e16
+    recs = []
+    z = None
+    for l in range(n_layers):
+        if l in cfg.skip_in:
+            h = jnp.concatenate([h, e16], axis=-1) * inv_sqrt2_16
+        w16 = w_refs[l][...].astype(dtype)
+        z = _dot(h, w16, dtype)
+        if l < n_layers - 1:
+            zb = z + b_refs[l][...]
+            recs.append(zb)
+            _, hh = _softplus100_pair(zb)
+            h = hh.astype(dtype)
     z8 = z + b_refs[n_layers - 1][...]
     sdf_ref[...] = z8[:, :1] / cfg.scale
     feat_ref[...] = z8[:, 1:]
-    # grad w.r.t. original x: sdf = z8[0]/scale with u = x*scale, so the
-    # 1/scale and the PE-input scale cancel: grad_d = Tz^d[:, 0]
-    grad_ref[...] = jnp.transpose(Tz[:, 0].reshape(3, B), (1, 0))
+
+    # --- reverse sweep: grad = ∂ z8[:,0] / ∂u (PE-input scale and the
+    # 1/scale on the sdf channel cancel, so this IS ∂sdf/∂x) ---
+    bar_e = jnp.zeros_like(e)
+    bar_h = None
+    for l in range(n_layers - 1, -1, -1):
+        if l == n_layers - 1:
+            # one-hot output cotangent through the last layer. NOT a
+            # wl[:, 0] lane-slice + broadcast: Mosaic materializes that
+            # pattern catastrophically (measured +38 MB VMEM — an OOM);
+            # the equivalent one-hot matmul costs one [B,d_out]x[d_out,in]
+            # MXU pass and keeps the kernel in budget.
+            d_out = w_refs[l].shape[1]
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (B, d_out), 1) == 0
+                  ).astype(jnp.float32)
+            bar_x = _dot_t(oh, w_refs[l][...].astype(dtype), dtype)
+        else:
+            s, _ = _softplus100_pair(recs[l])
+            bar_z = bar_h * s
+            bar_x = _dot_t(bar_z, w_refs[l][...].astype(dtype), dtype)
+        if l in cfg.skip_in:
+            h_dim = bar_x.shape[-1] - e.shape[-1]
+            bar_e = bar_e + bar_x[:, h_dim:] * inv_sqrt2
+            bar_h = bar_x[:, :h_dim] * inv_sqrt2
+        else:
+            bar_h = bar_x
+    bar_e = bar_e + bar_h
+    grad_ref[...] = jnp.concatenate(
+        [jnp.sum(bar_e * T, axis=-1, keepdims=True) for T in Ts], axis=-1)
 
 
 # ---------------------------------------------------------------------------
-# backward kernel
+# backward kernel: collapsed single-tangent-slab reverse sweep
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(cfg: SDFConfig, n_layers: int, dtype, pts_ref, *refs):
@@ -213,6 +232,7 @@ def _bwd_kernel(cfg: SDFConfig, n_layers: int, dtype, pts_ref, *refs):
 
     B = pts_ref.shape[0]
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    inv_sqrt2_16 = jnp.asarray(inv_sqrt2, dtype)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -221,26 +241,40 @@ def _bwd_kernel(cfg: SDFConfig, n_layers: int, dtype, pts_ref, *refs):
         for r in db_refs:
             r[...] = jnp.zeros_like(r)
 
-    # --- recompute the forward, recording (z_l, Tz_l) f32 pairs ---
-    # (the final layer's pair is recorded but unused here — its dots are
-    # dead code the compiler removes, so the recompute is n_layers-1 deep)
+    # --- directional tangent input: T' = Σ_d c_grad_d ∂e/∂u_d ---
+    e, Ts = _pe_parts(cfg, pts_ref[...])
+    cg = cgrad_ref[...]                                   # [B, 3]
+    Tdir = (cg[:, 0:1] * Ts[0] + cg[:, 1:2] * Ts[1] + cg[:, 2:3] * Ts[2])
+    e16 = e.astype(dtype)
+    T16 = Tdir.astype(dtype)
+
+    # --- recompute the forward with ONE tangent slab, recording (z, Tz) ---
+    # (the final layer's pair is recorded but only its dots feed dW; dead
+    # parts are removed by the compiler)
     recs = []
-    _forward_chain(cfg, n_layers, w_refs, b_refs, pts_ref[...], dtype,
-                   record=recs)
-    X0 = _pe_rows(cfg, pts_ref[...])
-    e16 = X0[:B].astype(dtype)
-    T16 = X0[B:].astype(dtype)
-    inv_sqrt2_16 = jnp.asarray(inv_sqrt2, dtype)
+    h, Th = e16, T16
+    for l in range(n_layers):
+        if l in cfg.skip_in:
+            h = jnp.concatenate([h, e16], axis=-1) * inv_sqrt2_16
+            Th = jnp.concatenate([Th, T16], axis=-1) * inv_sqrt2_16
+        w16 = w_refs[l][...].astype(dtype)
+        z = _dot(h, w16, dtype)
+        Tz = _dot(Th, w16, dtype)
+        recs.append((z, Tz))
+        if l < n_layers - 1:
+            zb = z + b_refs[l][...]
+            s, hh = _softplus100_pair(zb)
+            h = hh.astype(dtype)
+            Th = (Tz * s).astype(dtype)
 
     def x_input(l):
-        """Rebuild layer l's matmul inputs (h16 [B,in], Th16 [3B,in])."""
+        """Rebuild layer l's matmul inputs (h16 [B,in], Th16 [B,in])."""
         if l == 0:
             h, Th = e16, T16
         else:
             zp, Tzp = recs[l - 1]
             s, hh = _softplus100_pair(zp + b_refs[l - 1][...])
-            s3 = jnp.concatenate([s, s, s], axis=0)
-            h, Th = hh.astype(dtype), (Tzp * s3).astype(dtype)
+            h, Th = hh.astype(dtype), (Tzp * s).astype(dtype)
         if l in cfg.skip_in:
             h = jnp.concatenate([h, e16], axis=-1) * inv_sqrt2_16
             Th = jnp.concatenate([Th, T16], axis=-1) * inv_sqrt2_16
@@ -248,15 +282,14 @@ def _bwd_kernel(cfg: SDFConfig, n_layers: int, dtype, pts_ref, *refs):
 
     # --- initialize output cotangents ---
     bar_z = jnp.concatenate([csdf_ref[...] / cfg.scale, cfeat_ref[...]],
-                            axis=-1)                       # [B, d_out] f32
+                            axis=-1)                      # [B, d_out] f32
     d_out = bar_z.shape[-1]
-    # tangent cotangents: only column 0 (the sdf channel) carries c_grad
-    col0 = (jax.lax.broadcasted_iota(jnp.int32, (B, d_out), 1) == 0)
-    cg = cgrad_ref[...]                                    # [B, 3]
-    bar_T = jnp.concatenate(
-        [jnp.where(col0, cg[:, d:d + 1], 0.0) for d in range(3)], axis=0)
+    # collapsed tangent cotangent: UNIT seed in the sdf column (the per-axis
+    # c_grad weights already ride the tangent slab — see module docstring)
+    bar_T = (jax.lax.broadcasted_iota(jnp.int32, (B, d_out), 1) == 0
+             ).astype(jnp.float32)
 
-    # --- reverse sweep over separate primal/tangent slabs ---
+    # --- reverse sweep over the primal + single tangent slab ---
     for l in range(n_layers - 1, -1, -1):
         h16, Th16 = x_input(l)
         bz16 = bar_z.astype(dtype)
@@ -275,14 +308,8 @@ def _bwd_kernel(cfg: SDFConfig, n_layers: int, dtype, pts_ref, *refs):
         if l == 0:
             break
         w16 = w_refs[l][...].astype(dtype)
-        bar_h = jax.lax.dot_general(
-            bz16, w16, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT)           # [B, in_l]
-        bar_Th = jax.lax.dot_general(
-            bT16, w16, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT)           # [3B, in_l]
+        bar_h = _dot_t(bz16, w16, dtype)                  # [B, in_l]
+        bar_Th = _dot_t(bT16, w16, dtype)                 # [B, in_l]
         if l in cfg.skip_in:
             h_dim = bar_h.shape[-1] - e16.shape[-1]
             bar_h = bar_h[:, :h_dim] * inv_sqrt2
@@ -290,11 +317,8 @@ def _bwd_kernel(cfg: SDFConfig, n_layers: int, dtype, pts_ref, *refs):
         # through the softplus100 that produced layer l's inputs
         zp, Tzp = recs[l - 1]
         s, _ = _softplus100_pair(zp + b_refs[l - 1][...])
-        prod = bar_Th * Tzp
-        tang_dot = prod[:B] + prod[B:2 * B] + prod[2 * B:]   # Σ_d bar_Th⊙Tz
-        bar_z = bar_h * s + tang_dot * (100.0 * s * (1.0 - s))
-        s3 = jnp.concatenate([s, s, s], axis=0)
-        bar_T = bar_Th * s3
+        bar_z = bar_h * s + (bar_Th * Tzp) * (100.0 * s * (1.0 - s))
+        bar_T = bar_Th * s
 
 
 # ---------------------------------------------------------------------------
@@ -443,13 +467,13 @@ def sdf_value_feat_grad_fused(cfg: SDFConfig, params, pts,
                               bwd_block: int | None = None):
     """Drop-in for fields.sdf_value_feat_grad: [N,3] -> (sdf [N], feat [N,F],
     grad [N,3]), differentiable w.r.t. params (incl. weight norm) in ONE
-    reverse pass. The sdf output of the kernel is pre-divided... scale note:
-    the kernel divides the sdf channel by cfg.scale and emits ∂/∂x directly.
+    reverse pass. The kernel divides the sdf channel by cfg.scale and emits
+    ∂sdf/∂x directly.
 
     fwd_block/bwd_block: points per grid step (default: RNB_CORE_FWD_BLOCK /
-    RNB_CORE_BWD_BLOCK env, else 256 fwd / 128 bwd — see the module-top
-    comment for the sweep behind those numbers) — call-time parameters so
-    tools/tune_kernel.py can sweep them in one process.
+    RNB_CORE_BWD_BLOCK env, else 256/256 — see the module-top comment) —
+    call-time parameters so tools/tune_kernel.py can sweep them in one
+    process.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

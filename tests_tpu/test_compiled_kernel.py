@@ -55,6 +55,38 @@ def test_compiled_backward_matches_interpret_bf16():
         np.testing.assert_allclose(c, i, atol=3e-2 * scale, rtol=3e-2)
 
 
+def test_compiled_albedo_matches_interpret_bf16():
+    """Mosaic-vs-interpret parity for the fused albedo kernel (value and the
+    full {params, normals, features} gradient contraction)."""
+    from rnb_tpu.ops import pallas_albedo as alb
+
+    cfg = fields.RenderingConfig()
+    params = fields.init_rendering_network(jax.random.PRNGKey(11), cfg)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(12), 3)
+    pts = jax.random.uniform(k1, (512, 3), jnp.float32, -0.8, 0.8)
+    nrm = jax.random.normal(k2, (512, 3))
+    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    feat = jax.random.normal(k3, (512, cfg.d_feature)) * 0.3
+
+    def loss(p, n, f, interpret):
+        out = alb.albedo_apply_fused(cfg, p, pts, n, f, interpret=interpret,
+                                     dtype=jnp.bfloat16)
+        return jnp.abs(out - 0.5).sum() + (out ** 2).mean()
+
+    v_c, g_c = jax.value_and_grad(
+        lambda p, n, f: loss(p, n, f, False), argnums=(0, 1, 2))(
+        params, nrm, feat)
+    v_i, g_i = jax.value_and_grad(
+        lambda p, n, f: loss(p, n, f, True), argnums=(0, 1, 2))(
+        params, nrm, feat)
+    np.testing.assert_allclose(float(v_c), float(v_i), rtol=2e-2)
+    for c, i in zip(jax.tree_util.tree_leaves(g_c),
+                    jax.tree_util.tree_leaves(g_i)):
+        c, i = np.asarray(c, np.float32), np.asarray(i, np.float32)
+        scale = max(1e-4, float(np.abs(i).max()))
+        np.testing.assert_allclose(c, i, atol=3e-2 * scale, rtol=3e-2)
+
+
 def test_compiled_production_train_step():
     """One full compiled main-phase step at production shapes: finite loss,
     params move."""

@@ -1,18 +1,19 @@
 #!/usr/bin/env python
-"""Attribute the fwd-kernel time (roofline: ~3.1 ms vs 1.27 ms MXU-ideal at
-65k points) by timing STRIPPED kernel variants — profiler traces are opaque
-inside a Mosaic custom call, so ablation is the measurement tool:
+"""Attribute the fwd-kernel time by timing STRIPPED kernel variants —
+profiler traces are opaque inside a Mosaic custom call, so ablation is the
+measurement tool. Round-5 kernel shape (primal chain + reverse sweep for
+∇SDF, ops/pallas_sdf_core._fwd_kernel):
 
-    full        pallas_sdf_core._forward_chain itself (the production chain)
+    full        the production forward kernel dataflow
     no_pe       PE replaced by a broadcast of the raw coords (isolates the
                 sin/cos ladder + tangent-basis construction)
     no_act      softplus/sigmoid pair replaced by cheap multiplies with the
-                SAME dataflow (the Tz*s3 tangent scaling stays — isolates
-                ONLY the transcendentals)
-    primal_only tangent slabs dropped (isolates the 3x tangent matmul cost)
+                SAME dataflow (isolates ONLY the transcendentals)
+    primal_only reverse sweep dropped (isolates the ∇SDF sweep cost; this is
+                also the shape of a pure inference kernel)
 
 Numerics of the variants are WRONG by construction — timing only.
-Usage (free TPU): python tools/ablate_kernel.py [--n 65536] [--block 256]
+Usage (free TPU): python tools/ablate_kernel.py [--n 65536] [--block 128]
 """
 
 from __future__ import annotations
@@ -30,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--n", type=int, default=65536)
-    ap.add_argument("--block", type=int, default=256)
+    ap.add_argument("--block", type=int, default=128)
     ap.add_argument("--iters", type=int, default=50)
     args = ap.parse_args(argv)
     assert args.n % args.block == 0, (
@@ -58,62 +59,68 @@ def main(argv=None):
         -0.8, 0.8, (args.n, 3)).astype(np.float32))
     dtype = jnp.bfloat16
 
-    def chain(mode, w_refs, b_refs, p):
-        """Stripped variants of core._forward_chain — mode 'full' is NOT
-        handled here (it calls the production function directly, so the
-        baseline can never desynchronize from the shipped kernel)."""
-        inv_sqrt2 = jnp.asarray(1.0 / math.sqrt(2.0), dtype)
-        B = p.shape[0]
-        if mode == "no_pe":
-            e = jnp.broadcast_to(p[:, :1], (B, cfg.input_ch)
-                                 ).astype(jnp.float32)
-            X0 = jnp.concatenate([e, e, e, e], axis=0)
-        else:
-            X0 = core._pe_rows(cfg, p)
-        e16 = X0[:B].astype(dtype)
-        T16 = X0[B:].astype(dtype)
-        h, Th = e16, T16
-        z = Tz = None
-        for l in range(n_layers):
-            if l in cfg.skip_in:
-                h = jnp.concatenate([h, e16], axis=-1) * inv_sqrt2
-                if mode != "primal_only":
-                    Th = jnp.concatenate([Th, T16], axis=-1) * inv_sqrt2
-            w16 = w_refs[l][...].astype(dtype)
-            z = jnp.dot(h, w16, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.DEFAULT)
-            if mode != "primal_only":
-                Tz = jnp.dot(Th, w16, preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.DEFAULT)
-            if l < n_layers - 1:
-                zb = z + b_refs[l][...]
-                if mode == "no_act":
-                    # same dataflow as production, transcendentals replaced
-                    # by multiplies
-                    s, hh = zb * 0.5, zb * 0.25
-                else:
-                    s, hh = core._softplus100_pair(zb)
-                h = hh.astype(dtype)
-                if mode != "primal_only":
-                    s3 = jnp.concatenate([s, s, s], axis=0)
-                    Th = (Tz * s3).astype(dtype)
-        if mode == "primal_only":
-            Tz = jnp.zeros((3 * B, z.shape[-1]), jnp.float32)
-        return z, Tz
-
     def make_kernel(mode):
-        def kern(p_ref, *refs):
+        def kern(pts_ref, *refs):
             w_refs = refs[:n_layers]
             b_refs = refs[n_layers:2 * n_layers]
             sdf_ref, grad_ref = refs[2 * n_layers:]
-            B = p_ref.shape[0]
-            if mode == "full":
-                z, Tz = core._forward_chain(cfg, n_layers, w_refs, b_refs,
-                                            p_ref[...], dtype)
+            B = pts_ref.shape[0]
+            inv_sqrt2 = jnp.asarray(1.0 / math.sqrt(2.0), dtype)
+            if mode == "no_pe":
+                e = jnp.broadcast_to(pts_ref[...][:, :1],
+                                     (B, cfg.input_ch)).astype(jnp.float32)
+                Ts = (e, e, e)
             else:
-                z, Tz = chain(mode, w_refs, b_refs, p_ref[...])
+                e, Ts = core._pe_parts(cfg, pts_ref[...])
+            e16 = e.astype(dtype)
+            h = e16
+            recs = []
+            z = None
+            for l in range(n_layers):
+                if l in cfg.skip_in:
+                    h = jnp.concatenate([h, e16], axis=-1) * inv_sqrt2
+                w16 = w_refs[l][...].astype(dtype)
+                z = core._dot(h, w16, dtype)
+                if l < n_layers - 1:
+                    zb = z + b_refs[l][...]
+                    recs.append(zb)
+                    if mode == "no_act":
+                        hh = zb * 0.25
+                    else:
+                        _, hh = core._softplus100_pair(zb)
+                    h = hh.astype(dtype)
             sdf_ref[...] = z[:, :1]
-            grad_ref[...] = jnp.transpose(Tz[:, 0].reshape(3, B), (1, 0))
+            if mode == "primal_only":
+                grad_ref[...] = jnp.zeros((B, 3), jnp.float32)
+                return
+            # reverse sweep (same shape as production)
+            bar_e = jnp.zeros_like(e)
+            bar_h = None
+            for l in range(n_layers - 1, -1, -1):
+                if l == n_layers - 1:
+                    d_out = w_refs[l].shape[1]
+                    oh = (jax.lax.broadcasted_iota(
+                        jnp.int32, (B, d_out), 1) == 0).astype(jnp.float32)
+                    bar_x = core._dot_t(oh, w_refs[l][...].astype(dtype),
+                                        dtype)
+                else:
+                    if mode == "no_act":
+                        s = recs[l] * 0.5
+                    else:
+                        s, _ = core._softplus100_pair(recs[l])
+                    bar_z = bar_h * s
+                    bar_x = core._dot_t(bar_z,
+                                        w_refs[l][...].astype(dtype), dtype)
+                if l in cfg.skip_in:
+                    hd = bar_x.shape[-1] - e.shape[-1]
+                    bar_e = bar_e + bar_x[:, hd:] * (1.0 / math.sqrt(2.0))
+                    bar_h = bar_x[:, :hd] * (1.0 / math.sqrt(2.0))
+                else:
+                    bar_h = bar_x
+            bar_e = bar_e + bar_h
+            grad_ref[...] = jnp.concatenate(
+                [jnp.sum(bar_e * T, axis=-1, keepdims=True) for T in Ts],
+                axis=-1)
         return kern
 
     def run(mode):
@@ -121,7 +128,7 @@ def main(argv=None):
         mspace = pltpu.VMEM
         in_specs = [pl.BlockSpec((blk, 3), lambda i: (i, 0),
                                  memory_space=mspace)]
-        in_specs += core._specs_weights(ws, bs, mspace)  # reads .shape only
+        in_specs += core._specs_weights(ws, bs, mspace)
         out_specs = [
             pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=mspace),
             pl.BlockSpec((blk, 3), lambda i: (i, 0), memory_space=mspace)]
@@ -141,10 +148,21 @@ def main(argv=None):
         float(np.asarray(out[0])[0, 0])
         return (time.perf_counter() - t0) / args.iters * 1000.0
 
+    # 'full' times the production _fwd_kernel through the real entry point
+    # (its feat output included) so the baseline tracks the shipped kernel
+    def run_full():
+        out = core._run_fwd(cfg, (pts, ws, bs), False, dtype, args.block)
+        float(np.asarray(out[0])[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = core._run_fwd(cfg, (pts, ws, bs), False, dtype, args.block)
+        float(np.asarray(out[0])[0, 0])
+        return (time.perf_counter() - t0) / args.iters * 1000.0
+
     res = {}
     for mode in ("full", "no_pe", "no_act", "primal_only"):
         try:
-            res[mode] = round(run(mode), 3)
+            res[mode] = round(run_full() if mode == "full" else run(mode), 3)
         except Exception as e:
             res[mode] = f"{e!r}"[:140]
         print(mode, res[mode], flush=True)
