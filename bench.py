@@ -22,6 +22,45 @@ import os
 import time
 
 REFERENCE_RAYS_PER_S = 2816.0
+PEAK_BF16_FLOPS = 197e12   # v5e bf16 matmul peak (public spec)
+
+
+def analytic_step_flops(params, statics, rcfg, bsz: int) -> dict:
+    """Analytic FLOPs of one main-phase train step, from the actual weight
+    shapes (VERDICT r4 next #5: XLA flop counts undercount inside Pallas
+    custom calls, so MFU must come from the algorithm).
+
+    executed: what the production kernels actually run —
+      SDF core  8 passes/pt (fwd: primal + reverse grad sweep; bwd:
+                primal+tangent recompute, dW, bar propagation x2 slabs)
+      albedo    4 passes/pt (fwd; bwd: recompute, dW, bar)
+      up-sample 1 inference pass over the no-grad sweep points
+    model: the recompute-free minimum for the same formulation (core 6,
+      albedo 3) — the MFU numerator convention that does not reward
+      rematerialization."""
+    import numpy as np
+
+    def pass_flops(layer_list):
+        return 2.0 * sum(np.prod(_w_shape(l)) for l in layer_list)
+
+    def _w_shape(layer):
+        return (layer["v"] if "v" in layer else layer["w"]).shape
+
+    f_sdf = pass_flops(params["sdf"])
+    # sdf_only slices the head to 1 column
+    last = _w_shape(params["sdf"][-1])
+    f_sdf_only = f_sdf - 2.0 * last[0] * (last[1] - 1)
+    f_alb = pass_flops(params["color"])
+
+    n_core = bsz * (rcfg.total_samples if rcfg.n_importance > 0
+                    else rcfg.n_samples)
+    per_round = rcfg.n_importance // max(rcfg.up_sample_steps, 1)
+    n_up = bsz * rcfg.n_samples + bsz * per_round * max(
+        rcfg.up_sample_steps - 1, 0)
+
+    executed = n_core * (8.0 * f_sdf + 4.0 * f_alb) + n_up * f_sdf_only
+    model = n_core * (6.0 * f_sdf + 3.0 * f_alb) + n_up * f_sdf_only
+    return {"executed": executed, "model": model}
 
 
 def main():
@@ -89,6 +128,52 @@ def main():
     main_rps = measure(warmup=False)
     warm_rps = measure(warmup=True)
 
+    # honest MFU from analytic FLOPs (VERDICT r4 next #5): step time vs the
+    # chip's bf16 peak, numerator from the weight shapes (docstring of
+    # analytic_step_flops for the executed/model convention)
+    step_ms = tcfg.batch_size / main_rps * 1000.0 * max(n_dev, 1)
+    fl = analytic_step_flops(params, statics, rcfg, tcfg.batch_size)
+    mfu = {
+        "step_ms": round(step_ms, 3),
+        "analytic_flops_executed": fl["executed"],
+        "mfu_executed_pct": round(
+            fl["executed"] / (step_ms * 1e-3) / PEAK_BF16_FLOPS * 100, 1),
+        "mfu_model_pct": round(
+            fl["model"] / (step_ms * 1e-3) / PEAK_BF16_FLOPS * 100, 1),
+        "flops_ideal_ms": round(fl["executed"] / PEAK_BF16_FLOPS * 1e3, 3),
+        "pct_of_flops_ideal": round(
+            step_ms / (fl["executed"] / PEAK_BF16_FLOPS * 1e3), 2),
+    }
+
+    # view-sharded placement throughput (VERDICT r4 weak #6): the designated
+    # multi-host memory path, measured on the same mesh width (1-device mesh
+    # on a single chip — the shard_map/psum program structure is identical,
+    # only the axis size differs). Set RNB_BENCH_VIEW_SHARD=0 to skip.
+    view_shard_rps = None
+    if os.environ.get("RNB_BENCH_VIEW_SHARD", "1") == "1":
+        import jax.numpy as jnp
+
+        from rnb_tpu.parallel import mesh as meshlib
+        from rnb_tpu.parallel.data import shard_views
+        from rnb_tpu.parallel.train import make_view_sharded_train_step
+        mesh = meshlib.make_ray_mesh()
+        sharded_arrays = shard_views(scene.arrays, mesh)
+        fn = make_view_sharded_train_step(statics, rcfg, tcfg, warmup=False,
+                                          no_albedo=False, mesh=mesh)
+        state = steplib.init_train_state(
+            jax.tree_util.tree_map(jnp.array, params), tcfg)
+        for i in range(3):
+            state, metrics = fn(state, sharded_arrays, i, key)
+        float(metrics["loss"])
+        n3 = max(20, iters // 2)
+        t0 = time.perf_counter()
+        for i in range(n3):
+            state, metrics = fn(state, sharded_arrays, i, key)
+        assert float(metrics["loss"]) == float(metrics["loss"])
+        view_shard_rps = round(
+            n3 * tcfg.batch_size / (time.perf_counter() - t0)
+            / max(n_dev, 1), 1)
+
     # capability rows beyond the reference's fixed batch 512
     # (`/root/reference/confs/wmask_rnb.conf:26`): throughput headroom at
     # larger ray batches — the regime a multi-chip mesh runs in, where the
@@ -137,6 +222,8 @@ def main():
         "unit": "rays/s/chip (main phase, batch 512, 128 samples, 3 lights)",
         "vs_baseline": round(main_rps / max(n_dev, 1) / REFERENCE_RAYS_PER_S, 3),
         "warmup_phase_rays_per_s_per_chip": round(warm_rps / max(n_dev, 1), 1),
+        "view_shard_rays_per_s_per_chip": view_shard_rps,
+        "mfu": mfu,
         "batch_curve": batch_curve,
         "flags": steplib.runtime_flags_dict(tcfg),
         "n_devices": n_dev,

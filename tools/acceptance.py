@@ -73,6 +73,11 @@ def main(argv=None):
                     help="max allowed Chamfer-L1 (scene units; the unit "
                          "sphere bounds the scene, so 0.005 = 0.5%% of the "
                          "working volume radius)")
+    ap.add_argument("--center", type=float, nargs=3, default=(0.0, 0.0, 0.0),
+                    help="world-space center of the analytic surface — for "
+                         "gating WORLD-space meshes of normalized captures "
+                         "(non-identity scale mats); Chamfer is then in "
+                         "world units")
     ap.add_argument("--warm_up_iter", type=int, default=None,
                     help="if set, require logged steps on both sides")
     ap.add_argument("--n_points", type=int, default=200000)
@@ -89,12 +94,13 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     mesh_pts = sample_surface(np.asarray(v, np.float64), np.asarray(f),
                               args.n_points, rng)
+    center = np.asarray(args.center, np.float64)
     if args.shape == "torus":
-        acc = np.abs(torus_sdf(mesh_pts, args.R, args.r))
-        gt_pts = sample_torus_surface(args.n_points, args.R, args.r)
+        acc = np.abs(torus_sdf(mesh_pts - center, args.R, args.r))
+        gt_pts = sample_torus_surface(args.n_points, args.R, args.r) + center
     else:
-        acc = np.abs(sphere_sdf(mesh_pts, args.radius))
-        gt_pts = sample_sphere_surface(args.n_points, args.radius)
+        acc = np.abs(sphere_sdf(mesh_pts - center, args.radius))
+        gt_pts = sample_sphere_surface(args.n_points, args.radius) + center
     comp = nn_distances(gt_pts, mesh_pts)
     chamfer_l1 = 0.5 * (acc.mean() + comp.mean())
     if chamfer_l1 > args.threshold:
