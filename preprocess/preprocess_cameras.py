@@ -209,8 +209,16 @@ def get_normalization(source_dir: str, use_linear_init: bool = False,
     normalization, _ = estimate_normalization(Ps, mask_points_all, n_points,
                                               seed)
     if refine_hull:
+        # carve over 3x the epipolar scale estimate: the reference spans
+        # +/-scale around the (possibly biased) epipolar centroid
+        # (`preprocess_cameras.py:131-135`), which can CLIP the hull when
+        # the centroid sits off the true center — the clipped centroid then
+        # inherits the bias. The wider lattice costs nothing (same
+        # grid_size) and the refined scale is re-derived from the kept
+        # points, not from the input scale.
         centroid, scale, _ = refine_visual_hull(
-            masks_all, Ps, float(normalization[0, 0]), normalization[:3, 3])
+            masks_all, Ps, 3.0 * float(normalization[0, 0]),
+            normalization[:3, 3])
         normalization = np.eye(4, dtype=np.float32)
         normalization[:3, 3] = centroid
         normalization[0, 0] = normalization[1, 1] = normalization[2, 2] = scale

@@ -159,7 +159,15 @@ def write_case(out_dir: str, n_views: int = 8, H: int = 128, W: int = 128,
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))), "preprocess"))
         from preprocess_cameras import get_normalization
-        get_normalization(out_dir, seed=seed)
+        # refine_hull: the raw IDR epipolar estimate sets scale to the
+        # flattened std of the interval-endpoint cloud — for this torus
+        # geometry that is ~0.5x the object radius, which maps the object
+        # OUTSIDE the unit sphere NeuS assumes (measured: scale 0.36 for a
+        # 0.72-radius torus -> normalized radius 2.0, reconstruction
+        # Chamfer 0.094). The visual-hull refinement (mean hull distance
+        # x 3, `/root/reference/preprocess/preprocess_cameras.py:152-155`)
+        # bounds the object at ~0.4-0.5 of the unit sphere instead.
+        get_normalization(out_dir, seed=seed, refine_hull=True)
     return out_dir
 
 

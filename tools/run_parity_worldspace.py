@@ -95,7 +95,13 @@ def main(argv=None):
             raise SystemExit(f"training failed rc={r.returncode}")
         trained = True
 
-    threshold = 0.004 * scale   # the r4 normalized-space gate, in world units
+    # the analytic torus is IDENTICAL to the square-case one (R=0.5, r=0.22,
+    # only translated), so the world-unit gate equals the r4 gate — the
+    # scale_mat changes the training-internal representation, not the
+    # object's physical size. The 512^3 grid does span the (larger)
+    # normalized bbox, so cells are ~scale x coarser in world units; 0.004
+    # leaves room for that.
+    threshold = 0.004
     g = run([sys.executable, "tools/acceptance.py", exp_dir,
              "--shape", "torus", "--warm_up_iter", str(args.warmup),
              "--threshold", str(threshold),
