@@ -67,6 +67,16 @@ def test_backward_matches_xla_all_inputs():
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5)
 
 
+def test_supported_gates():
+    """Only the shipped-conf shape is fused; other modes fall back to the
+    XLA path in renderer.render_core_mvps."""
+    assert alb.supported(fields.RenderingConfig())
+    assert not alb.supported(fields.RenderingConfig(mode="idr"))
+    assert not alb.supported(fields.RenderingConfig(mode="ps"))
+    assert not alb.supported(fields.RenderingConfig(multires_view=0))
+    assert not alb.supported(fields.RenderingConfig(squeeze_out=False))
+
+
 def test_padding_independent():
     """Non-multiple-of-block sizes: padded rows contribute nothing."""
     cfg, params, pts, nrm, feat = _setup(n=alb.FWD_BLOCK + 5)
