@@ -139,6 +139,26 @@ def test_resume_continues_from_checkpoint(tmp_path, case_dir):
     assert r2.iter_step == 8
 
 
+def test_view_for_step_is_stateless(tmp_path, case_dir):
+    """_view_for_step is a pure function of (seed, step): querying out of
+    order, repeatedly, or from a fresh Runner yields identical views, and
+    each epoch is a permutation (every view trained once per epoch)."""
+    conf_path, _ = _write_conf(tmp_path, case_dir)
+    r1 = Runner(conf_path, "train_rnb", shard="off")
+    n = r1._n_view_slots
+    seq_forward = [r1._view_for_step(i) for i in range(3 * n)]
+    seq_shuffled = [r1._view_for_step(i)
+                    for i in np.random.default_rng(9).permutation(3 * n)]
+    r2 = Runner(conf_path, "train_rnb", shard="off")
+    seq_fresh = [r2._view_for_step(i) for i in range(3 * n)]
+    assert seq_fresh == seq_forward
+    got = {i: v for i, v in zip(
+        np.random.default_rng(9).permutation(3 * n), seq_shuffled)}
+    assert [got[i] for i in range(3 * n)] == seq_forward
+    for e in range(3):
+        assert sorted(seq_forward[e * n:(e + 1) * n]) == list(range(n))
+
+
 def _loss_by_step(exp_dir):
     import json
     out = {}
