@@ -65,16 +65,19 @@ def main(argv=None):
                                ", zero overrides"))
             full[name] = rec
 
+    wna = load("PARITY_r5_womask_noalb.json")
     out = {
         "round": 5,
         "kernel_revalidation_30k": load("PARITY_r5_kernel.json"),
         "worldspace_nonsquare_30k": load("PARITY_r5_worldspace.json"),
         "full_300k_diligent_scale": full,
+        "womask_noalbedo_30k": wna,
         "r4_compressed_matrix_reference": (load("PARITY_r4.json") or
                                            {}).get("variants"),
         "all_accepted": all([
             (load("PARITY_r5_kernel.json") or {}).get("all_accepted"),
             (load("PARITY_r5_worldspace.json") or {}).get("all_accepted"),
+            (wna or {}).get("all_accepted"),
             *(r.get("accepted") for r in full.values()),
             bool(full),
         ]),
