@@ -54,9 +54,12 @@ def analytic_step_flops(params, statics, rcfg, bsz: int) -> dict:
 
     n_core = bsz * (rcfg.total_samples if rcfg.n_importance > 0
                     else rcfg.n_samples)
-    per_round = rcfg.n_importance // max(rcfg.up_sample_steps, 1)
-    n_up = bsz * rcfg.n_samples + bsz * per_round * max(
-        rcfg.up_sample_steps - 1, 0)
+    if rcfg.n_importance > 0:
+        per_round = rcfg.n_importance // max(rcfg.up_sample_steps, 1)
+        n_up = bsz * rcfg.n_samples + bsz * per_round * max(
+            rcfg.up_sample_steps - 1, 0)
+    else:
+        n_up = 0   # the renderer skips up-sampling entirely
 
     executed = n_core * (8.0 * f_sdf + 4.0 * f_alb) + n_up * f_sdf_only
     model = n_core * (6.0 * f_sdf + 3.0 * f_alb) + n_up * f_sdf_only
@@ -130,19 +133,24 @@ def main():
 
     # honest MFU from analytic FLOPs (VERDICT r4 next #5): step time vs the
     # chip's bf16 peak, numerator from the weight shapes (docstring of
-    # analytic_step_flops for the executed/model convention)
-    step_ms = tcfg.batch_size / main_rps * 1000.0 * max(n_dev, 1)
+    # analytic_step_flops for the executed/model convention). Per-chip
+    # normalization: step_ms is the REAL wall latency of one global step;
+    # FLOPs are divided by n_dev so MFU/ideal are per chip (on one device
+    # the two conventions coincide).
+    step_ms = tcfg.batch_size / main_rps * 1000.0
     fl = analytic_step_flops(params, statics, rcfg, tcfg.batch_size)
+    fl_chip = fl["executed"] / max(n_dev, 1)
+    ideal_ms = fl_chip / PEAK_BF16_FLOPS * 1e3
     mfu = {
         "step_ms": round(step_ms, 3),
-        "analytic_flops_executed": fl["executed"],
+        "analytic_flops_executed_per_chip": fl_chip,
         "mfu_executed_pct": round(
-            fl["executed"] / (step_ms * 1e-3) / PEAK_BF16_FLOPS * 100, 1),
+            fl_chip / (step_ms * 1e-3) / PEAK_BF16_FLOPS * 100, 1),
         "mfu_model_pct": round(
-            fl["model"] / (step_ms * 1e-3) / PEAK_BF16_FLOPS * 100, 1),
-        "flops_ideal_ms": round(fl["executed"] / PEAK_BF16_FLOPS * 1e3, 3),
-        "pct_of_flops_ideal": round(
-            step_ms / (fl["executed"] / PEAK_BF16_FLOPS * 1e3), 2),
+            fl["model"] / max(n_dev, 1) / (step_ms * 1e-3)
+            / PEAK_BF16_FLOPS * 100, 1),
+        "flops_ideal_ms": round(ideal_ms, 3),
+        "pct_of_flops_ideal": round(step_ms / ideal_ms, 2),
     }
 
     # view-sharded placement throughput (VERDICT r4 weak #6): the designated

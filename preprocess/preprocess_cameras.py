@@ -153,16 +153,21 @@ def refine_visual_hull(masks: np.ndarray, Ps: np.ndarray, scale: float,
 
     Carve a grid_size³ lattice spanning [-scale, scale]³ around `center` by
     projecting every lattice point into every camera and counting silhouette
-    hits; keep points inside >= min_views silhouettes (default: all views,
-    rather than the reference's hard-coded 20 'fitted for DTU'), then
-    recenter on the kept points and set the new scale to 3x their mean
-    distance from the centroid.
+    hits; keep points inside >= min_views silhouettes, then recenter on the
+    kept points and set the new scale to 3x their mean distance from the
+    centroid.
+
+    min_views defaults to ceil(0.9 * n_cam) (min 2) rather than the
+    reference's hard-coded 20 'fitted for DTU': a point projecting OUTSIDE
+    a view's image bounds counts as a miss for that view, so requiring ALL
+    views would let a single tightly-cropped camera veto (and bias) the
+    whole hull on real rigs.
 
     Returns (centroid [3], scale, kept_points [M,3]). Vectorized over the
     lattice; loops only over cameras."""
     n_cam, im_h, im_w = masks.shape[:3]
     if min_views is None:
-        min_views = n_cam
+        min_views = max(2, int(np.ceil(0.9 * n_cam)))
     lin = np.linspace(-scale, scale, grid_size)
     xx, yy, zz = np.meshgrid(lin, lin, lin)
     points = np.stack((xx.ravel(), yy.ravel(), zz.ravel()))  # [3, G]

@@ -424,17 +424,23 @@ def make_torus_scene(n_views: int = 8, H: int = 128, W: int = 128,
         d_cam /= np.linalg.norm(d_cam, axis=-1, keepdims=True)
         d_world = d_cam @ R_w2c
 
-        # sphere-trace the torus SDF (evaluated about `center`)
-        t_ray = np.full((H, W), cam_dist - 1.2 - np.linalg.norm(center))
+        # sphere-trace the torus SDF (evaluated about `center`); BOTH the
+        # start and the far termination bound widen with |center| — an
+        # off-origin object's far side can sit up to |center| beyond the
+        # origin-centered bound, and clipping it there would corrupt the
+        # ground-truth masks/normals silently
+        c_norm = np.linalg.norm(center)
+        t_far = cam_dist + 1.2 + c_norm
+        t_ray = np.full((H, W), cam_dist - 1.2 - c_norm)
         alive = np.ones((H, W), bool)
         for _ in range(160):
             p = C[None, None] + t_ray[..., None] * d_world
             d = torus_sdf(p - center, R, r)
             t_ray = np.where(alive, t_ray + d, t_ray)
-            alive = alive & (d > 1e-5) & (t_ray < cam_dist + 1.2)
+            alive = alive & (d > 1e-5) & (t_ray < t_far)
         p = C[None, None] + t_ray[..., None] * d_world
         hit = ((np.abs(torus_sdf(p - center, R, r)) < 1e-3)
-               & (t_ray < cam_dist + 1.2))
+               & (t_ray < t_far))
 
         n_world = _torus_normal(p - center, R)
         n_cam = n_world @ R_w2c.T

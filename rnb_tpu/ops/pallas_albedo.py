@@ -41,6 +41,13 @@ from jax.experimental.pallas import tpu as pltpu
 from rnb_tpu.models.fields import RenderingConfig
 
 import os as _os
+
+# numerics-sensitive helpers shared with the SDF core kernel so fixes to
+# the weight-norm fold epsilon / matmul precision pinning / Mosaic
+# workarounds can never drift between the two kernels
+from rnb_tpu.ops.pallas_sdf_core import (_dot, _dot_t, _fold_dense,
+                                         _specs_weights)
+
 FWD_BLOCK = int(_os.environ.get("RNB_ALBEDO_FWD_BLOCK", "512"))
 BWD_BLOCK = int(_os.environ.get("RNB_ALBEDO_BWD_BLOCK", "256"))
 
@@ -48,19 +55,6 @@ BWD_BLOCK = int(_os.environ.get("RNB_ALBEDO_BWD_BLOCK", "256"))
 def supported(cfg: RenderingConfig) -> bool:
     return (cfg.mode == "no_view_dir" and cfg.multires_view > 0
             and cfg.squeeze_out)
-
-
-def _fold_dense(params):
-    dense = []
-    for layer in params:
-        if "v" in layer:
-            v = layer["v"]
-            norm = jnp.linalg.norm(v, axis=0, keepdims=True)
-            w = v * (layer["g"][None, :] / jnp.maximum(norm, 1e-12))
-        else:
-            w = layer["w"]
-        dense.append((w, layer["b"]))
-    return dense
 
 
 def _pe(multires: int, x):
@@ -73,19 +67,6 @@ def _pe(multires: int, x):
         if k + 1 < multires:
             s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
     return jnp.concatenate(parts, axis=-1)
-
-
-def _dot(a, b, dtype):
-    return jnp.dot(a.astype(dtype), b.astype(dtype),
-                   preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.DEFAULT)
-
-
-def _dot_t(a, b, dtype):
-    return jax.lax.dot_general(a.astype(dtype), b.astype(dtype),
-                               (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.DEFAULT)
 
 
 def _sigmoid(z):
@@ -182,17 +163,6 @@ def _bwd_kernel(cfg: RenderingConfig, n_layers: int, dtype,
 # ---------------------------------------------------------------------------
 # pallas_call wrappers + custom VJP
 # ---------------------------------------------------------------------------
-
-def _specs_weights(weights, biases, mspace):
-    specs = []
-    for w in weights:
-        specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
-                                  memory_space=mspace))
-    for b in biases:
-        specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0),
-                                  memory_space=mspace))
-    return specs
-
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
 def _run_fwd(cfg: RenderingConfig, flat, interpret: bool, dtype, block: int):

@@ -145,13 +145,19 @@ def _softplus100_pair(z):
 
 
 def _dot(a, b, dtype):
-    return jnp.dot(a.astype(dtype), b, preferred_element_type=jnp.float32,
+    """Matmul with both operands in the kernel's op dtype, f32 accumulation,
+    precision pinned explicitly (the global 'high' default must not leak
+    into Mosaic). Casting an already-cast operand is free. Shared with
+    ops/pallas_albedo."""
+    return jnp.dot(a.astype(dtype), b.astype(dtype),
+                   preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.DEFAULT)
 
 
 def _dot_t(a, b, dtype):
     """a @ b.T without materializing the transpose (contract dim 1 vs 1)."""
-    return jax.lax.dot_general(a.astype(dtype), b, (((1,), (1,)), ((), ())),
+    return jax.lax.dot_general(a.astype(dtype), b.astype(dtype),
+                               (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.DEFAULT)
 

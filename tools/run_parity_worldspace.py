@@ -17,8 +17,10 @@ Pipeline, exercising the offline L0 stage in the loop:
   3. train the wmask conf (compressed 30k/20k protocol of PARITY_r4) and
      extract the final 512^3 mesh in WORLD space;
   4. gate: Chamfer-L1 vs the analytic torus at its WORLD center, measured
-     in WORLD units, threshold = normalized-space gate (0.004) scaled by
-     scale_mat[0,0].
+     in WORLD units, threshold = 0.004 UNSCALED — the analytic torus is
+     physically identical to the square-case one (only translated), so the
+     world-unit gate equals the r4 gate; the scale_mat changes the
+     training-internal representation, not the object's size.
 
 Usage: python tools/run_parity_worldspace.py [--iters 30000]
        [--out PARITY_r5_worldspace.json]
