@@ -286,9 +286,18 @@ def render_core_outside(statics: ModelStatics, rcfg: RendererConfig, params,
     dirs = jnp.broadcast_to(rays_d[:, None, :], (batch_size, n_samples, 3))
 
     d_in = 3 + int(rcfg.n_outside > 0)
-    density, color_raw = fields.nerf_apply(
-        statics.nerf, params["nerf"],
-        pts4.reshape(-1, 4)[:, :d_in], dirs.reshape(-1, 3))
+    from rnb_tpu.ops import pallas_nerf
+    if (rcfg.core_impl == "pallas" and pallas_nerf.supported(statics.nerf)
+            and jax.default_backend() == "tpu"):
+        # fused background net: its XLA form cost 5.6 ms of a 16.1 ms
+        # womask step (n_outside=4 vs 0 differencing, round 5)
+        density, color_raw = pallas_nerf.nerf_apply_fused(
+            statics.nerf, params["nerf"],
+            pts4.reshape(-1, 4)[:, :d_in], dirs.reshape(-1, 3))
+    else:
+        density, color_raw = fields.nerf_apply(
+            statics.nerf, params["nerf"],
+            pts4.reshape(-1, 4)[:, :d_in], dirs.reshape(-1, 3))
     sampled_color = jax.nn.sigmoid(color_raw).reshape(batch_size, n_samples, 3)
     alpha = 1.0 - jnp.exp(-jax.nn.softplus(density.reshape(batch_size, n_samples)) * dists)
     weights = _exclusive_cumprod_transmittance(alpha)

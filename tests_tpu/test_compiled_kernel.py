@@ -87,6 +87,37 @@ def test_compiled_albedo_matches_interpret_bf16():
         np.testing.assert_allclose(c, i, atol=3e-2 * scale, rtol=3e-2)
 
 
+def test_compiled_nerf_matches_interpret_bf16():
+    """Mosaic-vs-interpret parity for the fused background-NeRF kernel
+    (value and the params-gradient contraction)."""
+    from rnb_tpu.ops import pallas_nerf as pn
+
+    cfg = fields.NeRFConfig()
+    params = fields.init_nerf(jax.random.PRNGKey(31), cfg)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(32))
+    pts = jax.random.uniform(k1, (512, 4), jnp.float32, -1.0, 1.0)
+    views = jax.random.normal(k2, (512, 3))
+    views = views / jnp.linalg.norm(views, axis=-1, keepdims=True)
+
+    def loss(p, interpret):
+        a, r = pn.nerf_apply_fused(cfg, p, pts, views, interpret=interpret,
+                                   dtype=jnp.bfloat16)
+        return (jax.nn.softplus(a).sum() * 1e-2
+                + (jax.nn.sigmoid(r) ** 2).sum())
+
+    v_c, g_c = jax.value_and_grad(lambda p: loss(p, False))(params)
+    v_i, g_i = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(v_c), float(v_i), rtol=2e-2)
+    for c, i in zip(jax.tree_util.tree_leaves(g_c),
+                    jax.tree_util.tree_leaves(g_i)):
+        c, i = np.asarray(c, np.float32), np.asarray(i, np.float32)
+        scale = max(1e-4, float(np.abs(i).max()))
+        # bf16 operands + ReLU-boundary mask flips between execution paths
+        # make per-element comparison loose; gross lowering bugs are orders
+        # of magnitude off
+        np.testing.assert_allclose(c, i, atol=5e-2 * scale, rtol=5e-2)
+
+
 def test_sharded_step_runs_pallas_core():
     """The Pallas kernels under shard_map partitioning on the real chip
     (VERDICT r4 weak #5: this composition previously had zero coverage —
